@@ -1,0 +1,168 @@
+"""Synthetic stereo scene renderer (host-side, numpy).
+
+The reference repo ships no tests and validates end-to-end on KITTI only
+(SURVEY.md par. 4). We build the test pyramid the survey prescribes instead:
+golden-value component tests against small synthetic scenes with exact
+ground-truth depth and pose. This module renders textured 3-D planes through a
+pinhole stereo rig — for a plane, the image-to-image mapping under any camera
+motion is an exact homography, so rendered pairs have analytically known
+disparity/idepth and zero photometric residual at the true pose.
+
+Conventions match the engine: world-to-camera pose T_cw maps world points to
+camera points X_c = R X_w + t; the right camera sits at +baseline along the
+left camera's x-axis (so a left-image point at inverse depth id appears in the
+right image at u_r = u_l - fx*baseline*id, cf. ImmaturePoint::traceStereo
+Kt = K*(-baseline,0,0), ImmaturePoint.cpp:104-117).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def smooth_texture(rng: np.random.Generator, size: int = 512, octaves: int = 5) -> np.ndarray:
+    """Multi-octave smooth random texture in [20, 235] (float32, square)."""
+    tex = np.zeros((size, size), dtype=np.float64)
+    amp = 1.0
+    total = 0.0
+    for o in range(octaves):
+        n = max(2, size >> (octaves - 1 - o))
+        grid = rng.standard_normal((n, n))
+        # bilinear upsample to full size
+        yi = np.linspace(0, n - 1, size)
+        xi = np.linspace(0, n - 1, size)
+        y0 = np.floor(yi).astype(int)
+        x0 = np.floor(xi).astype(int)
+        y1 = np.minimum(y0 + 1, n - 1)
+        x1 = np.minimum(x0 + 1, n - 1)
+        fy = (yi - y0)[:, None]
+        fx = (xi - x0)[None, :]
+        up = (
+            grid[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+            + grid[np.ix_(y0, x1)] * (1 - fy) * fx
+            + grid[np.ix_(y1, x0)] * fy * (1 - fx)
+            + grid[np.ix_(y1, x1)] * fy * fx
+        )
+        tex += amp * up
+        total += amp
+        amp *= 0.6
+    tex /= total
+    tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-12)
+    return (20.0 + 215.0 * tex).astype(np.float32)
+
+
+def _sample_tex(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Bilinear sample with wraparound (texture tiles infinitely)."""
+    H, W = tex.shape
+    u = np.mod(u, W)
+    v = np.mod(v, H)
+    x0 = np.floor(u).astype(int)
+    y0 = np.floor(v).astype(int)
+    fx = u - x0
+    fy = v - y0
+    x1 = (x0 + 1) % W
+    y1 = (y0 + 1) % H
+    return (
+        tex[y0, x0] * (1 - fy) * (1 - fx)
+        + tex[y0, x1] * (1 - fy) * fx
+        + tex[y1, x0] * fy * (1 - fx)
+        + tex[y1, x1] * fy * fx
+    ).astype(np.float32)
+
+
+@dataclasses.dataclass
+class PlaneScene:
+    """A textured plane n . X = dist in world coordinates."""
+
+    normal: np.ndarray  # (3,) unit
+    dist: float
+    tex: np.ndarray  # (S, S) float32
+    tex_scale: float = 20.0  # texels per world unit (~1 texel/pixel at 5m)
+    e1: np.ndarray = None  # plane basis
+    e2: np.ndarray = None
+
+    def __post_init__(self):
+        n = self.normal / np.linalg.norm(self.normal)
+        self.normal = n
+        a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        e1 = np.cross(n, a)
+        self.e1 = e1 / np.linalg.norm(e1)
+        self.e2 = np.cross(n, self.e1)
+
+
+def default_scene(seed: int = 0) -> PlaneScene:
+    """A plane tilted relative to the camera, ~5m away along +z."""
+    rng = np.random.default_rng(seed)
+    return PlaneScene(
+        normal=np.array([0.15, -0.1, -1.0]),
+        dist=-5.0,
+        tex=smooth_texture(rng),
+    )
+
+
+def render(
+    scene: PlaneScene, K: np.ndarray, w: int, h: int, T_cw: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    # camera center in world: C = -R^T t ; ray dir world: R^T K^{-1} p
+    C = -R.T @ t
+    Kinv = np.linalg.inv(K)
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    d_c = np.stack([us, vs, np.ones_like(us)], axis=-1) @ Kinv.T  # (h, w, 3)
+    d_w = d_c @ R  # == (R^T @ d_c^T)^T
+    n = scene.normal
+    denom = d_w @ n
+    s = (scene.dist - C @ n) / np.where(np.abs(denom) < 1e-12, np.nan, denom)
+    X_w = C[None, None, :] + s[..., None] * d_w
+    # depth along camera z equals s because d_c z-component is 1
+    valid = np.isfinite(s) & (s > 0.1)
+    idepth = np.where(valid, 1.0 / np.where(valid, s, 1.0), 0.0).astype(np.float32)
+    u_t = (X_w @ scene.e1) * scene.tex_scale
+    v_t = (X_w @ scene.e2) * scene.tex_scale
+    img = _sample_tex(scene.tex, np.nan_to_num(u_t), np.nan_to_num(v_t))
+    img = np.where(valid, img, 0.0).astype(np.float32)
+    return img, idepth
+
+
+def stereo_pose(T_cw_left: np.ndarray, baseline: float) -> np.ndarray:
+    """World-to-cam pose of the right camera given the left camera's.
+
+    X_r = X_l - (b, 0, 0):  T_rw = Shift(-b) @ T_lw.
+    """
+    S = np.eye(4)
+    S[0, 3] = -baseline
+    return S @ T_cw_left
+
+
+def render_stereo_pair(
+    scene: PlaneScene, K: np.ndarray, w: int, h: int, baseline: float,
+    T_cw: Optional[np.ndarray] = None,
+):
+    """Returns (left, right, idepth_left)."""
+    if T_cw is None:
+        T_cw = np.eye(4)
+    left, idepth = render(scene, K, w, h, T_cw)
+    right, _ = render(scene, K, w, h, stereo_pose(T_cw, baseline))
+    return left, right, idepth
+
+
+def render_sequence(
+    scene: PlaneScene,
+    K: np.ndarray,
+    w: int,
+    h: int,
+    baseline: float,
+    poses_cw: List[np.ndarray],
+):
+    """Render a stereo sequence. Returns list of (left, right, idepth_left)."""
+    return [render_stereo_pair(scene, K, w, h, baseline, T) for T in poses_cw]
+
+
+def default_K(w: int, h: int, fov_deg: float = 60.0) -> np.ndarray:
+    f = 0.5 * w / np.tan(np.radians(fov_deg) / 2)
+    K = np.array([[f, 0, (w - 1) / 2.0], [0, f, (h - 1) / 2.0], [0, 0, 1.0]])
+    return K
