@@ -1,0 +1,172 @@
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_dso_g2o_tpu.config import default_settings
+from stereo_dso_g2o_tpu.io import synthetic
+from stereo_dso_g2o_tpu.ops import trace as trace_ops
+from stereo_dso_g2o_tpu.ops.pyramid import build_pyramid
+
+SET = default_settings()
+
+
+def _setup(seed=0, w=256, h=128, b=0.15):
+    scene = synthetic.default_scene(seed)
+    K = synthetic.default_K(w, h)
+    left, right, idepth = synthetic.render_stereo_pair(scene, K, w, h, b)
+    dIpL, _ = build_pyramid(jnp.asarray(left), 4)
+    dIpR, _ = build_pyramid(jnp.asarray(right), 4)
+    return K, left, right, idepth, dIpL, dIpR, b
+
+
+def _grid_points(w, h, margin=20, step=9):
+    ys, xs = np.mgrid[margin : h - margin : step, margin : w - margin : step]
+    return xs.ravel().astype(np.float32), ys.ravel().astype(np.float32)
+
+
+def test_trace_stereo_recovers_disparity():
+    K, left, right, idepth, dIpL, dIpR, b = _setup()
+    w, h = left.shape[1], left.shape[0]
+    us, vs = _grid_points(w, h)
+    n = len(us)
+
+    color, weights, gradH, eth = trace_ops.extract_point_data(
+        dIpL[0], jnp.asarray(us), jnp.asarray(vs), SET
+    )
+    res, idepth_stereo = trace_ops.trace_stereo(
+        jnp.asarray(us),
+        jnp.asarray(vs),
+        jnp.zeros(n, jnp.float32),
+        jnp.full(n, jnp.nan, jnp.float32),
+        color,
+        weights,
+        gradH,
+        eth,
+        jnp.full(n, 10000.0, jnp.float32),
+        jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        jnp.asarray(K, dtype=jnp.float32),
+        jnp.float32(b),
+        dIpR[0],
+        mode_right=True,
+        settings=SET,
+    )
+    st = np.asarray(res.status)
+    good = st == trace_ops.IPS_GOOD
+    # most grid points on a textured plane should match
+    assert good.mean() > 0.5, f"only {good.mean():.2%} good"
+
+    gt = idepth[vs.astype(int), us.astype(int)]
+    est = np.asarray(idepth_stereo)
+    err = np.abs(est[good] - gt[good])
+    # idepth error bound: errorInPixel pixels of disparity -> err/bf
+    bf = K[0, 0] * b
+    bound = np.asarray(res.pixel_interval)[good] / bf + 2e-3
+    frac_in_bound = (err < bound).mean()
+    assert np.median(err) < 0.01, np.median(err)
+    assert frac_in_bound > 0.9, frac_in_bound
+
+    # interval must bracket the estimate
+    lo = np.asarray(res.idepth_min)[good]
+    hi = np.asarray(res.idepth_max)[good]
+    assert (lo <= hi).all()
+
+
+def test_trace_oob_status():
+    """Points whose epipolar projection leaves the image go OOB."""
+    K, left, right, idepth, dIpL, dIpR, b = _setup()
+    us = jnp.asarray([5.0])  # too close to the border (uMin > 4 fails after shift)
+    vs = jnp.asarray([5.0])
+    color, weights, gradH, eth = trace_ops.extract_point_data(dIpL[0], us, vs, SET)
+    res, _ = trace_ops.trace_stereo(
+        us, vs, jnp.zeros(1), jnp.full(1, jnp.nan), color, weights, gradH, eth,
+        jnp.full(1, 10000.0), jnp.full(1, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        jnp.asarray(K, dtype=jnp.float32), jnp.float32(b), dIpR[0],
+        mode_right=True, settings=SET,
+    )
+    # tracing right with positive disparity moves left: u=5 - disp < 4 at the
+    # far end of the search, so either OOB or (rarely) OUTLIER — never GOOD
+    # with a wildly wrong idepth. Accept OOB as the expected dominant outcome.
+    assert int(res.status[0]) in (trace_ops.IPS_OOB, trace_ops.IPS_OUTLIER)
+
+
+def test_trace_frozen_oob_stays_oob():
+    K, left, right, idepth, dIpL, dIpR, b = _setup()
+    us = jnp.asarray([100.0])
+    vs = jnp.asarray([60.0])
+    color, weights, gradH, eth = trace_ops.extract_point_data(dIpL[0], us, vs, SET)
+    res, _ = trace_ops.trace_stereo(
+        us, vs, jnp.zeros(1), jnp.full(1, jnp.nan), color, weights, gradH, eth,
+        jnp.full(1, 10000.0), jnp.full(1, trace_ops.IPS_OOB, jnp.int32),
+        jnp.asarray(K, dtype=jnp.float32), jnp.float32(b), dIpR[0],
+        mode_right=True, settings=SET,
+    )
+    assert int(res.status[0]) == trace_ops.IPS_OOB
+
+
+def test_trace_temporal_identity():
+    """Tracing a frame against itself with identity motion: the epipolar
+    segment collapses; with a tight interval the trace reports SKIPPED."""
+    K, left, right, idepth, dIpL, dIpR, b = _setup()
+    w, h = left.shape[1], left.shape[0]
+    us, vs = _grid_points(w, h, margin=30, step=17)
+    n = len(us)
+    gt = idepth[vs.astype(int), us.astype(int)]
+    color, weights, gradH, eth = trace_ops.extract_point_data(
+        dIpL[0], jnp.asarray(us), jnp.asarray(vs), SET
+    )
+    KRKi = jnp.eye(3, dtype=jnp.float32)  # identity motion: K R K^-1 = I
+    Kt = jnp.zeros(3, dtype=jnp.float32)
+    res = trace_ops.trace(
+        jnp.asarray(us), jnp.asarray(vs),
+        jnp.asarray(gt * 0.95), jnp.asarray(gt * 1.05),
+        color, weights, gradH, eth,
+        jnp.full(n, 10000.0, jnp.float32),
+        jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        KRKi, Kt, jnp.asarray([1.0, 0.0], dtype=jnp.float32), dIpL[0],
+        settings=SET,
+    )
+    st = np.asarray(res.status)
+    assert (st == trace_ops.IPS_SKIPPED).mean() > 0.95, st
+
+
+def test_trace_temporal_translation():
+    """Temporal trace under a known forward+lateral motion recovers idepth."""
+    scene = synthetic.default_scene(5)
+    w, h, b = 256, 128, 0.15
+    K = synthetic.default_K(w, h)
+    left0, _, idepth0 = synthetic.render_stereo_pair(scene, K, w, h, b)
+    T = np.eye(4)
+    T[:3, 3] = [0.15, 0.05, 0.1]  # host -> target camera motion
+    left1, _ = synthetic.render(scene, K, w, h, T)
+
+    dIp0, _ = build_pyramid(jnp.asarray(left0), 4)
+    dIp1, _ = build_pyramid(jnp.asarray(left1), 4)
+
+    us, vs = _grid_points(w, h, margin=25, step=11)
+    n = len(us)
+    gt = idepth0[vs.astype(int), us.astype(int)]
+
+    color, weights, gradH, eth = trace_ops.extract_point_data(
+        dIp0[0], jnp.asarray(us), jnp.asarray(vs), SET
+    )
+    Kj = jnp.asarray(K, dtype=jnp.float32)
+    R = jnp.asarray(T[:3, :3], dtype=jnp.float32)
+    t = jnp.asarray(T[:3, 3], dtype=jnp.float32)
+    KRKi = Kj @ R @ jnp.linalg.inv(Kj)
+    Kt = Kj @ t
+    res = trace_ops.trace(
+        jnp.asarray(us), jnp.asarray(vs),
+        jnp.zeros(n, jnp.float32), jnp.full(n, jnp.nan, jnp.float32),
+        color, weights, gradH, eth,
+        jnp.full(n, 10000.0, jnp.float32),
+        jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        KRKi, Kt, jnp.asarray([1.0, 0.0], dtype=jnp.float32), dIp1[0],
+        settings=SET,
+    )
+    st = np.asarray(res.status)
+    good = st == trace_ops.IPS_GOOD
+    assert good.mean() > 0.4, good.mean()
+    lo = np.asarray(res.idepth_min)[good]
+    hi = np.asarray(res.idepth_max)[good]
+    mid = 0.5 * (lo + hi)
+    err = np.abs(mid - gt[good]) / gt[good]
+    assert np.median(err) < 0.05, np.median(err)
