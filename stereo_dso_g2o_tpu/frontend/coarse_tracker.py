@@ -85,7 +85,9 @@ class CoarseTracker:
                 )
             )
         self.ref_aff = (
-            jnp.zeros(2, jnp.float32) if ref_aff is None else jnp.asarray(ref_aff)
+            jnp.zeros(2, jnp.float32)
+            if ref_aff is None
+            else jnp.asarray(ref_aff, dtype=jnp.float32)
         )
         self.ref_exposure = float(ref_exposure)
         self.first_coarse_rmse = -1.0

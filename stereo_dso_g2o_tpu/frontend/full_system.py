@@ -1,0 +1,766 @@
+"""The full stereo direct-SLAM pipeline orchestrator.
+
+TPU-native rebuild of FullSystem (FullSystem/FullSystem.{h,cpp}): owns the
+window state, immature point sets, coarse tracker and selector, and drives
+the per-frame pipeline:
+
+  addActiveFrame (:1058) -> trackNewCoarse (:288, retry ladder)
+    -> keyframe decision (:1127-1152, flow + affine delta)
+    -> makeKeyFrame (:1331) | makeNonKeyFrame (:1309)
+
+makeKeyFrame: temporal trace -> frame flagging -> window insert -> residual
+creation -> activation -> windowed BA -> outlier removal -> tracker reference
+rebuild (with per-point static-stereo re-verification, makeCoarseDepthL0
+STEP1) -> point flagging/marginalization -> new traces -> frame
+marginalization.
+
+Initialization is the stereo path (setFirstStereo + initializeFromInitializer,
+:1487-1600): frame 0's static-stereo depths seed the first keyframe; the
+mono initializer is dead code in stereo mode (SURVEY.md par. 3.3).
+
+The host code here is control flow only — every numeric stage is a jitted
+program over fixed-capacity arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_dso_g2o_tpu.backend import ba, builder
+from stereo_dso_g2o_tpu.backend import window as W
+from stereo_dso_g2o_tpu.config import Settings, default_settings
+from stereo_dso_g2o_tpu.frontend import immature as IMM
+from stereo_dso_g2o_tpu.frontend.coarse_tracker import (
+    CoarseTracker,
+    motion_model_tries,
+    rotation_ladder,
+)
+from stereo_dso_g2o_tpu.models.camera import Calib
+from stereo_dso_g2o_tpu.ops import distance_map as DM
+from stereo_dso_g2o_tpu.ops import trace as trace_ops
+from stereo_dso_g2o_tpu.ops.pyramid import build_pyramid
+from stereo_dso_g2o_tpu.ops.selector import PixelSelector, map_to_points
+from stereo_dso_g2o_tpu.utils import se3
+
+
+@dataclasses.dataclass
+class FrameShell:
+    """util/FrameShell.h:33-70 — lightweight per-frame pose record."""
+
+    id: int
+    timestamp: float
+    T_cam_to_ref: np.ndarray  # camToTrackingRef
+    ref_kf_id: int  # tracking reference keyframe id (-1 for first)
+    aff: np.ndarray
+    is_kf: bool = False
+    T_cw: Optional[np.ndarray] = None  # camToWorld (KFs: updated after BA)
+
+
+class FullSystem:
+    def __init__(self, calib: Calib, settings: Settings = default_settings()):
+        self.calib = calib
+        self.settings = settings
+        F = settings.window_cap
+        NP = settings.active_cap * 2
+        self.win = W.empty_window(F, NP, np.asarray(calib.c, dtype=np.float32))
+        self.imm = IMM.empty(F, settings.immature_cap)
+        self.selector = PixelSelector(settings)
+        self.tracker = CoarseTracker(calib, settings)
+        self.initialized = False
+        self.is_lost = False
+
+        self.history: List[FrameShell] = []
+        self.kf_shells: List[FrameShell] = []  # by keyframe id
+        self.kf_slots: List[int] = []  # window order oldest..newest
+        self.slot_frame_id: dict = {}
+        self.kf_out_count = np.zeros(F, dtype=np.int64)  # marg'd+dropped pts
+        self.dI_slots = [None] * F  # per-slot full left pyramid (tuple)
+        self.right_slots = [None] * F  # per-slot right level-0 dI
+        self.current_min_act_dist = 2.0
+        self.last_coarse_rmse = np.full(calib.n_levels, np.inf)
+        self.first_pair = None  # (dIpL, dIpR) of frame 0 until init
+        self.next_kf_id = 0
+        self.stats_n_frames = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def n_levels(self):
+        return self.calib.n_levels
+
+    def _dI_stack(self):
+        """(F, H, W, 3) stacked level-0 pyramids of window keyframes."""
+        H0, W0 = self.calib.h[0], self.calib.w[0]
+        mats = []
+        for s in range(self.win.F):
+            if self.dI_slots[s] is not None:
+                mats.append(self.dI_slots[s][0])
+            else:
+                mats.append(jnp.zeros((H0, W0, 3), jnp.float32))
+        return jnp.stack(mats)
+
+    def _aff_of_slot(self, slot):
+        return np.asarray(self.win.aff_g2l())[slot]
+
+    # ------------------------------------------------------------------
+    def add_frame(self, left, right, frame_id: int, timestamp: float = 0.0,
+                  exposure: float = 1.0, exposure_right: float = 1.0):
+        """FullSystem::addActiveFrame."""
+        if self.is_lost:
+            return
+        n_lvl = self.n_levels
+        dIpL, asgL = build_pyramid(jnp.asarray(left, jnp.float32), n_lvl)
+        dIpR, _ = build_pyramid(jnp.asarray(right, jnp.float32), n_lvl)
+
+        if not self.initialized:
+            # frame 0: store the stereo pair; first KF is created on frame 1
+            self.first_pair = (dIpL, dIpR, asgL, exposure)
+            self.history.append(
+                FrameShell(frame_id, timestamp, np.eye(4), -1, np.zeros(2))
+            )
+            self.initialized = True
+            return
+
+        if len(self.kf_slots) == 0:
+            # frame 1: build the first keyframe from frame 0's stereo depths,
+            # then track frame 1 against it (FullSystem.cpp:305-345 branch)
+            self._initialize_first_kf()
+
+        self._track_and_deliver(
+            dIpL, dIpR, asgL, frame_id, timestamp, exposure
+        )
+
+    # ------------------------------------------------------------------
+    def _initialize_first_kf(self):
+        """initializeFromInitializer + setFirstStereo condensed: select
+        pixels on frame 0, static-stereo trace for idepth, create the first
+        keyframe with depth-prior points."""
+        s = self.settings
+        dIpL, dIpR, asgL, exposure = self.first_pair
+        status_map, _ = self.selector.make_maps(
+            dIpL[0], asgL[0], asgL[1], asgL[2], s.desired_point_density
+        )
+        us, vs, types, valid = map_to_points(status_map, s.active_cap)
+
+        color, weights, gradH, eth = trace_ops.extract_point_data(
+            dIpL[0], us, vs, s
+        )
+        n = us.shape[0]
+        res, idepth_stereo = trace_ops.trace_stereo(
+            us, vs, jnp.zeros(n), jnp.full(n, jnp.nan), color, weights,
+            gradH, eth, jnp.full(n, 10000.0),
+            jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+            self.calib.K(0), self.calib.baseline, dIpR[0],
+            mode_right=True, settings=s,
+        )
+        good = (
+            valid
+            & (res.status == trace_ops.IPS_GOOD)
+            & jnp.isfinite(res.idepth_min)
+            & jnp.isfinite(res.idepth_max)
+            & (res.idepth_min >= 0)
+            & (res.idepth_max >= 0)
+        )
+
+        slot = 0
+        kf_id = self.next_kf_id
+        self.next_kf_id += 1
+        self.win = builder.insert_frame(
+            self.win, slot, np.eye(4), (0.0, 0.0), exposure, kf_id
+        )
+        idx = jnp.arange(n)
+        self.win = builder.insert_points(
+            self.win, idx, slot, us, vs,
+            jnp.where(good, idepth_stereo, 0.0), color, weights, eth,
+            has_prior=True,
+        )
+        # invalidate the failed slots
+        self.win = self.win.replace(
+            pt_status=self.win.pt_status.at[idx].set(
+                jnp.where(good, W.PT_ACTIVE, W.PT_INACTIVE)
+            )
+        )
+        self.dI_slots[slot] = dIpL
+        self.right_slots[slot] = dIpR[0]
+        self.kf_slots = [slot]
+        self.slot_frame_id[slot] = kf_id
+        shell = self.history[0]
+        shell.is_kf = True
+        shell.T_cw = np.eye(4)
+        self.kf_shells.append(shell)
+
+        # tracking reference from the fresh stereo points
+        # (setCTRefForFirstFrame / makeCoarseDepthForFirstFrame)
+        self.tracker.set_reference(
+            dIpL, us, vs, jnp.where(good, idepth_stereo, 0.0),
+            jnp.ones(n), good, ref_aff=np.zeros(2), ref_exposure=exposure,
+            ref_frame_id=kf_id,
+        )
+
+    # ------------------------------------------------------------------
+    def _track_and_deliver(self, dIpL, dIpR, asgL, frame_id, timestamp, exposure):
+        s = self.settings
+        n_lvl = self.n_levels
+
+        # pose hypothesis ladder (trackNewCoarse)
+        ref_kf_id = self.tracker.ref_frame_id
+        T_w_lastF = np.linalg.inv(self._kf_T_cw(ref_kf_id))  # worldToCam of ref
+        if len(self.history) >= 3:
+            sl = self.history[-1]
+            spl = self.history[-2]
+            tries = motion_model_tries(
+                self._shell_T_cw(spl), self._shell_T_cw(sl), self._kf_T_cw(ref_kf_id)
+            )
+            aff_last = sl.aff.copy()
+        else:
+            tries = [np.eye(4)] + rotation_ladder()
+            aff_last = np.zeros(2)
+
+        achieved = np.full(n_lvl, np.nan)
+        best = None
+        flow = np.array([100.0, 0.0, 100.0])
+        for i, T_try in enumerate(tries):
+            res = self.tracker.track_newest_coarse(
+                dIpL, T_try, aff_last, n_lvl - 1,
+                np.where(np.isfinite(achieved), achieved, np.inf),
+                new_exposure=exposure,
+            )
+            ok = (
+                res.ok
+                and np.isfinite(res.residuals[0])
+                and not (res.residuals[0] >= achieved[0])
+            ) if np.isfinite(achieved[0]) else (res.ok and np.isfinite(res.residuals[0]))
+            if ok:
+                best = res
+                flow = res.flow
+            if best is not None:
+                upd = ~np.isfinite(achieved) | (achieved > res.residuals)
+                achieved = np.where(
+                    upd & np.isfinite(res.residuals), res.residuals, achieved
+                )
+            if best is not None and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold:
+                break
+
+        if best is None:
+            # take predicted pose and hope (FullSystem.cpp:503-508)
+            best_T = tries[0]
+            best_aff = aff_last
+            flow = np.zeros(3)
+            coarse_rmse0 = np.inf
+        else:
+            best_T = best.T_ref_new
+            best_aff = best.aff
+            coarse_rmse0 = achieved[0]
+
+        if not np.all(np.isfinite(best_T)):
+            self.is_lost = True
+            return
+
+        self.last_coarse_rmse = np.where(
+            np.isfinite(achieved), achieved, self.last_coarse_rmse
+        )
+        if self.tracker.first_coarse_rmse < 0:
+            self.tracker.first_coarse_rmse = coarse_rmse0
+
+        shell = FrameShell(
+            frame_id, timestamp, np.linalg.inv(best_T), self.tracker.ref_frame_id,
+            np.asarray(best_aff, dtype=np.float64),
+        )
+        self.history.append(shell)
+
+        # keyframe decision (:1127-1152)
+        ref_slot = self.kf_slots[-1]
+        ref_exp = float(np.asarray(self.win.ab_exposure)[ref_slot])
+        ref_aff = self._aff_of_slot(ref_slot)
+        a_rel = (
+            np.exp(best_aff[0] - ref_aff[0]) * exposure / max(ref_exp, 1e-9)
+        )
+        wh = self.calib.w[0] + self.calib.h[0]
+        delta = (
+            s.kf_global_weight * s.max_shift_weight_t * np.sqrt(max(flow[0], 0)) / wh
+            + s.kf_global_weight * s.max_shift_weight_r * np.sqrt(max(flow[1], 0)) / wh
+            + s.kf_global_weight * s.max_shift_weight_rt * np.sqrt(max(flow[2], 0)) / wh
+            + s.kf_global_weight * s.max_affine_weight * abs(np.log(max(a_rel, 1e-9)))
+        )
+        need_kf = (
+            len(self.history) == 2
+            or delta > 1.0
+            or 2.0 * self.tracker.first_coarse_rmse < coarse_rmse0
+        )
+
+        self.stats_n_frames += 1
+        if need_kf:
+            self._make_keyframe(dIpL, dIpR, shell, best_T, best_aff, exposure)
+        else:
+            self._make_non_keyframe(dIpL, dIpR, shell, best_T, best_aff, exposure)
+
+    # ------------------------------------------------------------------
+    def _shell_T_cw(self, shell: FrameShell):
+        """camToWorld composed through the (BA-updated) tracking reference."""
+        if shell.is_kf and shell.T_cw is not None:
+            return shell.T_cw
+        if shell.ref_kf_id < 0:
+            return shell.T_cam_to_ref
+        return self._kf_T_cw_world(shell.ref_kf_id) @ shell.T_cam_to_ref
+
+    def _kf_T_cw_world(self, kf_id):
+        return self.kf_shells[kf_id].T_cw
+
+    def _kf_T_cw(self, kf_id):
+        """worldToCam... naming: returns camToWorld of the keyframe."""
+        return self.kf_shells[kf_id].T_cw
+
+    def _host_to_new_mats(self, T_new_w2c):
+        """Per-host KRKi/Kt/R/t/aff to a new (non-window) frame."""
+        F = self.win.F
+        w2c = np.asarray(self.win.w2c(), dtype=np.float64)
+        K = np.asarray(self.calib.K(0), dtype=np.float64)
+        Ki = np.linalg.inv(K)
+        KRKi = np.zeros((F, 3, 3), np.float32)
+        Kt = np.zeros((F, 3), np.float32)
+        Rs = np.zeros((F, 3, 3), np.float32)
+        ts = np.zeros((F, 3), np.float32)
+        for s_ in range(F):
+            T = T_new_w2c @ np.linalg.inv(w2c[s_])
+            KRKi[s_] = (K @ T[:3, :3] @ Ki).astype(np.float32)
+            Kt[s_] = (K @ T[:3, 3]).astype(np.float32)
+            Rs[s_] = T[:3, :3].astype(np.float32)
+            ts[s_] = T[:3, 3].astype(np.float32)
+        return jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(Rs), jnp.asarray(ts)
+
+    def _aff_to_new(self, new_aff, new_exposure):
+        F = self.win.F
+        aff_h = np.asarray(self.win.aff_g2l(), dtype=np.float64)
+        exps = np.asarray(self.win.ab_exposure, dtype=np.float64)
+        out = np.zeros((F, 2), np.float32)
+        for s_ in range(F):
+            a = np.exp(new_aff[0] - aff_h[s_, 0]) * new_exposure / max(exps[s_], 1e-9)
+            b = new_aff[1] - a * aff_h[s_, 1]
+            out[s_] = (a, b)
+        return jnp.asarray(out)
+
+    # ------------------------------------------------------------------
+    def _make_non_keyframe(self, dIpL, dIpR, shell, T_ref_new, aff, exposure):
+        """makeNonKeyFrame: temporal + stereo depth refinement only."""
+        ref_T_cw = self._kf_T_cw(shell.ref_kf_id)
+        T_new_w2c = T_ref_new @ np.linalg.inv(ref_T_cw)
+        KRKi, Kt, Rs, ts = self._host_to_new_mats(T_new_w2c)
+        aff_ht = self._aff_to_new(aff, exposure)
+        self.imm = IMM.trace_on_nonkey(
+            self.imm, KRKi, Kt, Rs, ts, aff_ht, dIpL[0], dIpR[0],
+            self.calib.K(0), self.calib.baseline, self.win.frame_valid,
+            settings=self.settings,
+        )
+
+    # ------------------------------------------------------------------
+    def _make_keyframe(self, dIpL, dIpR, shell, T_ref_new, aff, exposure):
+        s = self.settings
+        F = self.win.F
+        ref_T_cw = self._kf_T_cw(shell.ref_kf_id)
+        T_new_w2c = T_ref_new @ np.linalg.inv(ref_T_cw)
+
+        # STEP 1: temporal trace of every immature point onto the new KF
+        KRKi, Kt, _, _ = self._host_to_new_mats(T_new_w2c)
+        aff_ht = self._aff_to_new(aff, exposure)
+        self.imm = IMM.trace_on_frame(
+            self.imm, KRKi, Kt, aff_ht, dIpL[0], self.win.frame_valid,
+            settings=self.settings,
+        )
+
+        # STEP 2: flag frames for marginalization (host-side policy)
+        flagged = self._flag_frames(aff, exposure)
+
+        # STEP 3: insert the new KF into the window
+        slot = self._free_slot()
+        kf_id = self.next_kf_id
+        self.next_kf_id += 1
+        self.win = builder.insert_frame(
+            self.win, slot, T_new_w2c, tuple(np.asarray(aff)), exposure, kf_id
+        )
+        self.dI_slots[slot] = dIpL
+        self.right_slots[slot] = dIpR[0]
+        self.kf_slots.append(slot)
+        self.slot_frame_id[slot] = kf_id
+        shell.is_kf = True
+        shell.T_cw = np.linalg.inv(T_new_w2c)
+        self.kf_shells.append(shell)
+
+        # STEP 4: residuals from every active point to the new KF
+        active_pts = self.win.pt_status == W.PT_ACTIVE
+        self.win = self.win.replace(
+            res_exists=self.win.res_exists.at[:, slot].set(active_pts),
+            res_state=self.win.res_state.at[:, slot].set(W.RES_IN),
+            res_linearized=self.win.res_linearized.at[:, slot].set(False),
+        )
+
+        dI_stack = self._dI_stack()
+
+        # STEP 5: activate points
+        self._activate_points(dI_stack, slot)
+
+        # STEP 6: windowed BA
+        max_its = s.max_opt_iterations
+        if len(self.kf_slots) < 3:
+            max_its = 20
+        elif len(self.kf_slots) < 4:
+            max_its = 15
+        self.win, energy, nres = ba.optimize(
+            self.win, dI_stack, settings=s, max_its=max_its
+        )
+        # re-linearize the newest KF at its optimized pose (:1000-1006)
+        self.win = builder.set_frame_eval_pt(self.win, slot)
+        self.win, _ = ba.linearize_all_final(
+            self.win, dI_stack, jnp.asarray(slot), settings=s
+        )
+        # remove points with zero remaining residuals (removeOutliers)
+        nres_pt = jnp.sum(self.win.res_exists, axis=1)
+        self.win = self.win.replace(
+            pt_status=jnp.where(
+                (self.win.pt_status == W.PT_ACTIVE) & (nres_pt == 0),
+                W.PT_INACTIVE,
+                self.win.pt_status,
+            )
+        )
+
+        # propagate BA poses to keyframe shells
+        w2c = np.asarray(self.win.w2c(), dtype=np.float64)
+        aff_all = np.asarray(self.win.aff_g2l(), dtype=np.float64)
+        for s_ in self.kf_slots:
+            kid = self.slot_frame_id[s_]
+            self.kf_shells[kid].T_cw = np.linalg.inv(w2c[s_])
+            self.kf_shells[kid].aff = aff_all[s_]
+
+        # STEP 7: rebuild the tracking reference (makeCoarseDepthL0)
+        self._set_tracking_ref(slot, dI_stack)
+
+        # STEP 8: flag + marginalize points
+        prev_slot = self.kf_slots[-2] if len(self.kf_slots) >= 2 else -1
+        self.win = ba.flag_points_for_removal(
+            self.win, dI_stack, jnp.asarray(flagged), jnp.asarray(slot),
+            jnp.asarray(prev_slot), settings=s,
+        )
+        n_gone = int(
+            np.asarray(
+                ((self.win.pt_status == W.PT_MARGINALIZE) | (self.win.pt_status == W.PT_DROP))
+            ).sum()
+        )
+        if n_gone:
+            hosts = np.asarray(self.win.pt_host)
+            gone = np.asarray(
+                (self.win.pt_status == W.PT_MARGINALIZE)
+                | (self.win.pt_status == W.PT_DROP)
+            )
+            np.add.at(self.kf_out_count, hosts[gone], 1)
+        self.win = ba.marginalize_points(self.win, settings=s)
+
+        # STEP 9: seed new immature points on the new KF (makeNewTraces)
+        asg = build_pyramid(dIpL[0][..., 0], 3)[1]
+        status_map, _ = self.selector.make_maps(
+            dIpL[0], asg[0], asg[1], asg[2], s.desired_immature_density
+        )
+        us, vs, types, valid = map_to_points(status_map, s.immature_cap)
+        self.imm = IMM.seed_slot(
+            self.imm, slot, dIpL[0], us, vs, types, valid, settings=s
+        )
+
+        # STEP 10: marginalize flagged frames
+        for s_ in list(self.kf_slots):
+            if flagged[s_]:
+                self._marginalize_frame(s_)
+
+    # ------------------------------------------------------------------
+    def _free_slot(self) -> int:
+        fv = np.asarray(self.win.frame_valid)
+        free = np.nonzero(~fv)[0]
+        assert len(free) > 0, "window capacity exceeded"
+        return int(free[0])
+
+    def _flag_frames(self, new_aff, new_exposure) -> np.ndarray:
+        """flagFramesForMarginalization (FullSystemMarginalize.cpp:59-145)."""
+        s = self.settings
+        F = self.win.F
+        flagged = np.zeros(F, dtype=bool)
+        if len(self.kf_slots) < 2:
+            return flagged
+
+        pt_status = np.asarray(self.win.pt_status)
+        pt_host = np.asarray(self.win.pt_host)
+        imm_valid = np.asarray(self.imm.valid)
+        aff_all = np.asarray(self.win.aff_g2l(), dtype=np.float64)
+        exps = np.asarray(self.win.ab_exposure, dtype=np.float64)
+        n_flagged = 0
+        n_kfs = len(self.kf_slots)
+
+        for s_ in self.kf_slots:
+            n_in = int(((pt_status == W.PT_ACTIVE) & (pt_host == s_)).sum()) + int(
+                imm_valid[s_].sum()
+            )
+            n_out = int(self.kf_out_count[s_])
+            a_rel = (
+                np.exp(aff_all[s_, 0] - new_aff[0]) * exps[s_] / max(new_exposure, 1e-9)
+            )
+            if (
+                n_in < s.min_points_remaining * (n_in + n_out)
+                or abs(np.log(max(a_rel, 1e-12))) > s.max_log_aff_fac_in_window
+            ) and (n_kfs + 1 - n_flagged > s.min_frames):
+                flagged[s_] = True
+                n_flagged += 1
+
+        # distance-score marginalization when the window is (over)full
+        # (note: the new KF is inserted after flagging, hence the +1)
+        if n_kfs + 1 - n_flagged >= s.max_frames + 1:
+            w2c = np.asarray(self.win.w2c(), dtype=np.float64)
+            latest = self.kf_slots[-1]
+            latest_id = self.slot_frame_id[latest]
+            best_score = 1.0
+            best_slot = None
+            for s_ in self.kf_slots:
+                fid = self.slot_frame_id[s_]
+                if fid > latest_id - s.min_frame_age or fid == 0:
+                    continue
+                dist_score = 0.0
+                for t_ in self.kf_slots:
+                    tid = self.slot_frame_id[t_]
+                    if tid > latest_id - s.min_frame_age + 1 or t_ == s_:
+                        continue
+                    d = np.linalg.norm(
+                        (w2c[t_] @ np.linalg.inv(w2c[s_]))[:3, 3]
+                    )
+                    dist_score += 1.0 / (1e-5 + d)
+                d_latest = np.linalg.norm(
+                    (w2c[latest] @ np.linalg.inv(w2c[s_]))[:3, 3]
+                )
+                dist_score *= -np.sqrt(max(d_latest, 1e-12))
+                if dist_score < best_score:
+                    best_score = dist_score
+                    best_slot = s_
+            if best_slot is not None:
+                flagged[best_slot] = True
+        return flagged
+
+    # ------------------------------------------------------------------
+    def _activate_points(self, dI_stack, newest_slot):
+        """activatePointsMT."""
+        s = self.settings
+        n_active = int(np.asarray(self.win.pt_status == W.PT_ACTIVE).sum())
+        d = s.desired_point_density
+        if n_active < d * 0.66:
+            self.current_min_act_dist -= 0.8
+        if n_active < d * 0.8:
+            self.current_min_act_dist -= 0.5
+        elif n_active < d * 0.9:
+            self.current_min_act_dist -= 0.2
+        elif n_active < d:
+            self.current_min_act_dist -= 0.1
+        if n_active > d * 1.5:
+            self.current_min_act_dist += 0.8
+        if n_active > d * 1.3:
+            self.current_min_act_dist += 0.5
+        if n_active > d * 1.15:
+            self.current_min_act_dist += 0.2
+        if n_active > d:
+            self.current_min_act_dist += 0.1
+        self.current_min_act_dist = float(
+            np.clip(self.current_min_act_dist, 0.0, 4.0)
+        )
+
+        # distance map at level 1 in the newest KF
+        pre = W.precalc(self.win)
+        h1, w1 = self.calib.h[1], self.calib.w[1]
+        K0 = np.asarray(self.calib.K(0), dtype=np.float64)
+        fx1, fy1 = self.calib.fx(1), self.calib.fy(1)
+        K1 = np.asarray(
+            [
+                [float(fx1), 0, float(self.calib.cx(1))],
+                [0, float(fy1), float(self.calib.cy(1))],
+                [0, 0, 1],
+            ]
+        )
+        w2c = np.asarray(self.win.w2c(), dtype=np.float64)
+        F = self.win.F
+        KRKi1 = np.zeros((F, 3, 3), np.float32)
+        Kt1 = np.zeros((F, 3), np.float32)
+        for s_ in range(F):
+            T = w2c[newest_slot] @ np.linalg.inv(w2c[s_])
+            KRKi1[s_] = (K1 @ T[:3, :3] @ np.linalg.inv(K0)).astype(np.float32)
+            Kt1[s_] = (K1 @ T[:3, 3]).astype(np.float32)
+        KRKi1 = jnp.asarray(KRKi1)
+        Kt1 = jnp.asarray(Kt1)
+
+        # project active points into the newest KF at level 1
+        active = self.win.pt_status == W.PT_ACTIVE
+        P = jnp.stack(
+            [self.win.pt_u, self.win.pt_v, jnp.ones_like(self.win.pt_u)], -1
+        )
+        ptp = (
+            jnp.einsum("nij,nj->ni", KRKi1[self.win.pt_host], P)
+            + Kt1[self.win.pt_host] * self.win.pt_idepth[:, None]
+        )
+        pu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(jnp.int32)
+        pv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(jnp.int32)
+        inb = (pu > 0) & (pv > 0) & (pu < w1) & (pv < h1)
+        dmap = DM.distance_map(pu, pv, active & inb, h1, w1)
+
+        cand, delete, iu, iv = IMM.activation_candidates(
+            self.imm, dmap, KRKi1, Kt1, self.win.frame_valid,
+            jnp.asarray(newest_slot), jnp.asarray(self.current_min_act_dist),
+            settings=s, h1=h1, w1=w1,
+        )
+        # same-cell suppression stands in for greedy map re-insertion
+        cand_flat = DM.suppress_same_cell(
+            iu.reshape(-1), iv.reshape(-1), cand.reshape(-1), cell=2
+        ).reshape(cand.shape)
+
+        self.imm = self.imm.replace(valid=self.imm.valid & ~delete)
+
+        act = IMM.optimize_immature(
+            self.imm, cand_flat, pre["RTll"], pre["tTll"], pre["aff"],
+            self.win.frame_valid, dI_stack, self.win.c_value, settings=s,
+        )
+
+        # insert accepted points into free window slots (host-side compaction)
+        accepted = np.asarray(act.accepted)
+        acc_idx = np.argwhere(accepted)
+        free = builder.free_point_slots(self.win, len(acc_idx))
+        n_ins = min(len(free), len(acc_idx))
+        if n_ins > 0:
+            hostd = acc_idx[:n_ins, 0]
+            col = acc_idx[:n_ins, 1]
+            idepths = np.asarray(act.idepth)[hostd, col]
+            res_good = np.asarray(act.res_good)[hostd, col]  # (n, F)
+            u_np = np.asarray(self.imm.u)[hostd, col]
+            v_np = np.asarray(self.imm.v)[hostd, col]
+            color_np = np.asarray(self.imm.color)[hostd, col]
+            w_np = np.asarray(self.imm.weights)[hostd, col]
+            eth_np = np.asarray(self.imm.energy_th)[hostd, col]
+            idx = jnp.asarray(free[:n_ins])
+            self.win = builder.insert_points(
+                self.win, idx, 0, jnp.asarray(u_np), jnp.asarray(v_np),
+                jnp.asarray(idepths), jnp.asarray(color_np), jnp.asarray(w_np),
+                jnp.asarray(eth_np), has_prior=False,
+            )
+            # correct per-point host + residuals to IN targets
+            self.win = self.win.replace(
+                pt_host=self.win.pt_host.at[idx].set(jnp.asarray(hostd, jnp.int32)),
+                res_exists=self.win.res_exists.at[idx].set(jnp.asarray(res_good)),
+                res_state=self.win.res_state.at[idx].set(W.RES_IN),
+                res_linearized=self.win.res_linearized.at[idx].set(False),
+            )
+
+        # consumed/dropped immature slots
+        drop = np.asarray(act.dropped)
+        consumed = accepted.copy()
+        consumed[acc_idx[n_ins:, 0], acc_idx[n_ins:, 1]] = False
+        self.imm = self.imm.replace(
+            valid=self.imm.valid & ~jnp.asarray(consumed | drop)
+        )
+
+    # ------------------------------------------------------------------
+    def _set_tracking_ref(self, newest_slot, dI_stack):
+        """setCoarseTrackingRef + makeCoarseDepthL0 STEP1: project window
+        points via their residual to the newest KF, re-verify each by L->R /
+        R->L static stereo, splat with inverse-covariance weights."""
+        s = self.settings
+        win = self.win
+        active = np.asarray(win.pt_status) == W.PT_ACTIVE
+        res_in = np.asarray(
+            win.res_exists[:, newest_slot]
+            & (win.res_state[:, newest_slot] == W.RES_IN)
+        )
+        sel = active & res_in
+        center = np.asarray(win.res_center)[:, newest_slot]  # (NP, 3)
+        us = np.round(center[:, 0]).astype(np.float32)
+        vs = np.round(center[:, 1]).astype(np.float32)
+        ids = center[:, 2].astype(np.float32)
+
+        dI_new = self.dI_slots[newest_slot][0]
+        dI_right = self.right_slots[newest_slot]
+        n = us.shape[0]
+        usj = jnp.asarray(np.clip(us, 8, self.calib.w[0] - 9))
+        vsj = jnp.asarray(np.clip(vs, 8, self.calib.h[0] - 9))
+        color, weights, gradH, eth = trace_ops.extract_point_data(
+            dI_new, usj, vsj, s
+        )
+        res_lr, idepth_stereo = trace_ops.trace_stereo(
+            usj, vsj, jnp.asarray(ids * 0.1), jnp.asarray(ids * 1.9),
+            color, weights, gradH, eth, jnp.full(n, 10000.0),
+            jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+            self.calib.K(0), self.calib.baseline, dI_right,
+            mode_right=True, settings=s,
+        )
+        lr_good = np.asarray(res_lr.status) == trace_ops.IPS_GOOD
+        u_r = jnp.asarray(
+            np.clip(np.asarray(res_lr.last_uv)[:, 0], 8, self.calib.w[0] - 9)
+        )
+        v_r = jnp.asarray(
+            np.clip(np.asarray(res_lr.last_uv)[:, 1], 8, self.calib.h[0] - 9)
+        )
+        color_r, weights_r, gradH_r, eth_r = trace_ops.extract_point_data(
+            dI_right, u_r, v_r, s
+        )
+        res_rl, _ = trace_ops.trace_stereo(
+            u_r, v_r, jnp.asarray(ids * 0.1), jnp.asarray(ids * 1.9),
+            color_r, weights_r, gradH_r, eth_r, jnp.full(n, 10000.0),
+            jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+            self.calib.K(0), self.calib.baseline, dI_new,
+            mode_right=False, settings=s,
+        )
+        u_delta = np.abs(us - np.asarray(res_rl.last_uv)[:, 0])
+        depth = 1.0 / np.where(np.asarray(idepth_stereo) != 0, np.asarray(idepth_stereo), np.inf)
+        stereo_ok = (
+            lr_good
+            & (u_delta < s.stereo_u_delta_max)
+            & (depth > 0)
+            & (depth < s.stereo_depth_max)
+        )
+        new_id = np.where(stereo_ok, np.asarray(idepth_stereo), ids)
+
+        hdif = 1.0 / np.maximum(np.asarray(win.pt_idepth_hessian), 1e-12)
+        weight = np.sqrt(1e-3 / (hdif + 1e-12)).astype(np.float32)
+
+        self.tracker.set_reference(
+            self.dI_slots[newest_slot],
+            jnp.asarray(us), jnp.asarray(vs), jnp.asarray(new_id),
+            jnp.asarray(weight), jnp.asarray(sel),
+            ref_aff=self._aff_of_slot(newest_slot),
+            ref_exposure=float(np.asarray(win.ab_exposure)[newest_slot]),
+            ref_frame_id=self.slot_frame_id[newest_slot],
+        )
+
+    # ------------------------------------------------------------------
+    def _marginalize_frame(self, slot):
+        """marginalizeFrame: drop residuals targeting the frame, drop its
+        hosted points (already flagged via host_flagged), Schur-eliminate."""
+        # residuals targeting the marginalized frame are dropped
+        # (FullSystemMarginalize.cpp:146-198)
+        self.win = self.win.replace(
+            res_exists=self.win.res_exists.at[:, slot].set(False)
+        )
+        # points still hosted there are dropped outright
+        hosted = (self.win.pt_host == slot) & (self.win.pt_status == W.PT_ACTIVE)
+        self.win = self.win.replace(
+            pt_status=jnp.where(hosted, W.PT_INACTIVE, self.win.pt_status),
+            res_exists=self.win.res_exists & ~hosted[:, None],
+        )
+        self.win = ba.marginalize_frame(
+            self.win, jnp.asarray(slot), settings=self.settings
+        )
+        self.imm = IMM.clear_slot(self.imm, slot)
+        self.dI_slots[slot] = None
+        self.right_slots[slot] = None
+        self.kf_slots.remove(slot)
+        self.kf_out_count[slot] = 0
+        del self.slot_frame_id[slot]
+
+    # ------------------------------------------------------------------
+    def trajectory(self):
+        """KITTI-convention trajectory: camToWorld per frame, composed through
+        the final keyframe poses (printResult, FullSystem.cpp:236-285)."""
+        out = []
+        for shell in self.history:
+            out.append(self._shell_T_cw(shell))
+        return out

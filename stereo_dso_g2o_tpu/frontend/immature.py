@@ -1,0 +1,467 @@
+"""Immature point management: creation, tracing across frames, activation.
+
+TPU-native rebuild of the ImmaturePoint lifecycle (FullSystem::makeNewTraces
+:1600-1629, traceNewCoarseKey :745-781, traceNewCoarseNonKey :632-744,
+activatePointsMT :796-961 + optimizeImmaturePoint FullSystemOptPoint.cpp:52-240).
+
+Immature points live in a fixed-capacity [F, CAP] structure-of-arrays per
+keyframe slot. Tracing every keyframe's candidates onto a new frame is one
+vmapped trace-kernel call over the host axis; activation is a batched 1-dof
+inverse-depth LM over (candidates x target keyframes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from stereo_dso_g2o_tpu.config import PATTERN, Settings, default_settings
+from stereo_dso_g2o_tpu.backend import window as W
+from stereo_dso_g2o_tpu.ops import trace as trace_ops
+from stereo_dso_g2o_tpu.ops.interp import bilinear
+
+
+@struct.dataclass
+class ImmatureSet:
+    """[F, CAP] per-keyframe immature point arrays."""
+
+    valid: jax.Array  # (F, C) bool
+    u: jax.Array  # (F, C)
+    v: jax.Array  # (F, C)
+    idepth_min: jax.Array  # (F, C)
+    idepth_max: jax.Array  # (F, C)
+    color: jax.Array  # (F, C, 8)
+    weights: jax.Array  # (F, C, 8)
+    gradH: jax.Array  # (F, C, 2, 2)
+    energy_th: jax.Array  # (F, C)
+    quality: jax.Array  # (F, C)
+    status: jax.Array  # (F, C) int32 (IPS_*)
+    my_type: jax.Array  # (F, C) int32 (selector level 1/2/4)
+    pixel_interval: jax.Array  # (F, C)
+    last_uv: jax.Array  # (F, C, 2)
+
+
+def empty(F: int, cap: int) -> ImmatureSet:
+    z = jnp.zeros
+    return ImmatureSet(
+        valid=z((F, cap), bool),
+        u=z((F, cap)),
+        v=z((F, cap)),
+        idepth_min=z((F, cap)),
+        idepth_max=jnp.full((F, cap), jnp.nan),
+        color=z((F, cap, 8)),
+        weights=z((F, cap, 8)),
+        gradH=z((F, cap, 2, 2)),
+        energy_th=z((F, cap)),
+        quality=jnp.full((F, cap), 10000.0),
+        status=jnp.full((F, cap), trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        my_type=jnp.ones((F, cap), jnp.int32),
+        pixel_interval=z((F, cap)),
+        last_uv=z((F, cap, 2)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def seed_slot(
+    imm: ImmatureSet,
+    slot,
+    dI_host,
+    us,
+    vs,
+    types,
+    valid,
+    settings: Settings = default_settings(),
+) -> ImmatureSet:
+    """makeNewTraces for one keyframe slot: fill its row with freshly selected
+    pixels (idepth interval [0, inf), status UNINITIALIZED)."""
+    cap = imm.u.shape[1]
+    n = us.shape[0]
+    assert n == cap, (n, cap)
+    color, weights, gradH, eth = trace_ops.extract_point_data(
+        dI_host, us, vs, settings
+    )
+    finite = jnp.all(jnp.isfinite(color), axis=-1)
+    ok = valid & finite
+    return imm.replace(
+        valid=imm.valid.at[slot].set(ok),
+        u=imm.u.at[slot].set(us),
+        v=imm.v.at[slot].set(vs),
+        idepth_min=imm.idepth_min.at[slot].set(0.0),
+        idepth_max=imm.idepth_max.at[slot].set(jnp.nan),
+        color=imm.color.at[slot].set(color),
+        weights=imm.weights.at[slot].set(weights),
+        gradH=imm.gradH.at[slot].set(gradH),
+        energy_th=imm.energy_th.at[slot].set(eth),
+        quality=imm.quality.at[slot].set(10000.0),
+        status=imm.status.at[slot].set(trace_ops.IPS_UNINITIALIZED),
+        my_type=imm.my_type.at[slot].set(types),
+        pixel_interval=imm.pixel_interval.at[slot].set(0.0),
+        last_uv=imm.last_uv.at[slot].set(0.0),
+    )
+
+
+def clear_slot(imm: ImmatureSet, slot) -> ImmatureSet:
+    return imm.replace(valid=imm.valid.at[slot].set(False))
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def trace_on_frame(
+    imm: ImmatureSet,
+    KRKi,  # (F, 3, 3) host -> new-frame for every host slot
+    Kt,  # (F, 3)
+    aff,  # (F, 2) host -> new-frame photometric transfer
+    dI_new,  # (H, W, 3)
+    host_valid,  # (F,) bool
+    settings: Settings = default_settings(),
+) -> ImmatureSet:
+    """traceNewCoarseKey: epipolar-trace every keyframe's immature points onto
+    a new frame (FullSystem.cpp:745-781), vmapped over the host axis."""
+
+    def one_host(u, v, idmin, idmax, color, weights, gradH, eth, qual, st, K1, t1, a1):
+        res = trace_ops.trace(
+            u, v, idmin, idmax, color, weights, gradH, eth, qual, st,
+            K1, t1, a1, dI_new, settings=settings,
+        )
+        return res
+
+    res = jax.vmap(one_host)(
+        imm.u, imm.v, imm.idepth_min, imm.idepth_max, imm.color, imm.weights,
+        imm.gradH, imm.energy_th, imm.quality, imm.status, KRKi, Kt, aff,
+    )
+    upd = imm.valid & host_valid[:, None]
+    return imm.replace(
+        idepth_min=jnp.where(upd, res.idepth_min, imm.idepth_min),
+        idepth_max=jnp.where(upd, res.idepth_max, imm.idepth_max),
+        quality=jnp.where(upd, res.quality, imm.quality),
+        status=jnp.where(upd, res.status, imm.status),
+        pixel_interval=jnp.where(upd, res.pixel_interval, imm.pixel_interval),
+        last_uv=jnp.where(upd[..., None], res.last_uv, imm.last_uv),
+    )
+
+
+class ActivationResult(NamedTuple):
+    idepth: jax.Array  # (F, C) optimized inverse depth
+    accepted: jax.Array  # (F, C) create a PointHessian
+    dropped: jax.Array  # (F, C) delete the immature point
+    res_good: jax.Array  # (F, C, Ftgt) residual IN per target frame
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def optimize_immature(
+    imm: ImmatureSet,
+    candidate,  # (F, C) bool — distance-map accepted candidates
+    RTll,  # (F, F, 3, 3) current host->target rotations
+    tTll,  # (F, F, 3)
+    aff_ht,  # (F, F, 2)
+    frame_valid,  # (F,)
+    dI_stack,  # (F, H, W, 3)
+    c_value,  # (4,)
+    settings: Settings = default_settings(),
+):
+    """optimizeImmaturePoint (legacy 1-dof idepth LM, FullSystemOptPoint.cpp
+    + ImmaturePoint::linearizeResidual legacy body :886-975), batched over
+    every candidate at once.
+
+    Returns ActivationResult; caller inserts accepted points into the Window.
+    """
+    F, C = imm.u.shape
+    fx, fy, cx, cy = c_value[0], c_value[1], c_value[2], c_value[3]
+    Hd, Wd = dI_stack.shape[1:3]
+    wM3, hM3 = float(Wd - 3), float(Hd - 3)
+    pat = jnp.asarray(PATTERN, dtype=imm.u.dtype)
+
+    # flatten candidates over (F, C); target axis = F
+    host = jnp.repeat(jnp.arange(F), C)  # (F*C,)
+    u = imm.u.reshape(-1)
+    v = imm.v.reshape(-1)
+    color = imm.color.reshape(-1, 8)
+    weights = imm.weights.reshape(-1, 8)
+    eth = imm.energy_th.reshape(-1)
+    cand = (candidate & imm.valid).reshape(-1)
+
+    R = RTll[host]  # (N, F, 3, 3)
+    t = tTll[host]  # (N, F, 3)
+    aff = aff_ht[host]  # (N, F, 2)
+    tgt_ok = (
+        cand[:, None]
+        & frame_valid[None, :]
+        & (host[:, None] != jnp.arange(F)[None, :])
+    )  # (N, F)
+
+    id0 = (0.5 * (imm.idepth_min + imm.idepth_max)).reshape(-1)
+
+    KliP = jnp.stack(
+        [
+            (u[:, None] + pat[None, :, 0] - cx) / fx,
+            (v[:, None] + pat[None, :, 1] - cy) / fy,
+            jnp.ones((u.shape[0], 8), u.dtype),
+        ],
+        axis=-1,
+    )  # (N, 8, 3)
+
+    def energy_H_b(idepth, res_oob):
+        """Per-target pattern energy + idepth H/b at given idepth."""
+        ptp = (
+            jnp.einsum("nfij,npj->nfpi", R, KliP)
+            + t[:, :, None, :] * idepth[:, None, None, None]
+        )  # (N, F, 8, 3)
+        drescale = 1.0 / ptp[..., 2]
+        uu = ptp[..., 0] * drescale
+        vv = ptp[..., 1] * drescale
+        Ku = uu * fx + cx
+        Kv = vv * fy + cy
+        ok = (
+            (drescale > 0) & (Ku > 1.1) & (Kv > 1.1) & (Ku < wM3) & (Kv < hM3)
+        )
+        all_ok = jnp.all(ok, axis=-1)  # (N, F)
+        oob = ~all_ok | res_oob
+
+        f_idx = jnp.broadcast_to(
+            jnp.arange(F)[None, :, None], Ku.shape
+        )
+        # fused per-sample gather via residuals helper
+        from stereo_dso_g2o_tpu.ops.residuals import _bilinear3_frames
+
+        hit = _bilinear3_frames(dI_stack, f_idx, Ku, Kv)
+        r = hit[..., 0] - (
+            aff[..., 0:1] * color[:, None, :] + aff[..., 1:2]
+        )
+        ar = jnp.abs(r)
+        hw = jnp.where(
+            ar < settings.huber_th,
+            1.0,
+            settings.huber_th / jnp.maximum(ar, 1e-12),
+        )
+        w2 = weights[:, None, :] ** 2
+        energy = jnp.sum(w2 * hw * r * r * (2.0 - hw), axis=-1)  # (N, F)
+
+        dxI = hit[..., 1] * fx
+        dyI = hit[..., 2] * fy
+        # derive_idepth (ResidualProjections.h:36-42)
+        d_id = (
+            dxI * drescale * (t[..., 0:1] - t[..., 2:3] * uu)
+            + dyI * drescale * (t[..., 1:2] - t[..., 2:3] * vv)
+        )
+        hw2 = hw * w2
+        Hdd_t = jnp.sum(hw2 * d_id * d_id, axis=-1)
+        bd_t = jnp.sum(hw2 * r * d_id, axis=-1)
+
+        # outlier clamp (legacy linearizeResidual tail)
+        outlier = energy > eth[:, None]  # outlierTHSlack = 1
+        energy = jnp.where(outlier, eth[:, None], energy)
+        state_in = tgt_ok & ~oob & ~outlier
+
+        use = tgt_ok & ~oob
+        Hdd = jnp.sum(jnp.where(use, Hdd_t, 0.0), axis=1)
+        bd = jnp.sum(jnp.where(use, bd_t, 0.0), axis=1)
+        E = jnp.sum(jnp.where(use, energy, 0.0), axis=1)
+        return E, Hdd, bd, oob, state_in
+
+    res_oob0 = jnp.zeros_like(tgt_ok) & False
+    E, Hdd, bd, oob, state_in = energy_H_b(id0, res_oob0)
+
+    def lm_body(k, carry):
+        idepth, E_best, Hc, bc, lam, oob_c, in_c = carry
+        step = -(bc / (Hc * (1.0 + lam) + 1e-10))
+        new_id = idepth + step
+        E2, H2, b2, oob2, in2 = energy_H_b(new_id, oob_c)
+        accept = E2 < E_best
+        idepth = jnp.where(accept, new_id, idepth)
+        E_best = jnp.where(accept, E2, E_best)
+        Hc = jnp.where(accept, H2, Hc)
+        bc = jnp.where(accept, b2, bc)
+        lam = jnp.where(accept, lam * 0.5, lam * 5.0)
+        oob_c = oob_c | oob2
+        in_c = jnp.where(accept[:, None], in2, in_c)
+        return (idepth, E_best, Hc, bc, lam, oob_c, in_c)
+
+    carry = (
+        id0,
+        E,
+        Hdd,
+        bd,
+        jnp.full_like(id0, 0.1),
+        oob,
+        state_in,
+    )
+    idepth, E_fin, Hdd_fin, _, _, oob_fin, in_fin = jax.lax.fori_loop(
+        0, settings.gn_its_on_point_activation, lm_body, carry
+    )
+
+    n_good = jnp.sum(in_fin, axis=1)
+    well_constrained = Hdd_fin >= settings.min_idepth_h_act
+    finite = jnp.isfinite(idepth)
+    accepted = cand & finite & well_constrained & (n_good >= 1)
+    # not well-constrained -> keep immature (return 0); nan/low obs -> drop
+    dropped = cand & (~finite | (well_constrained & (n_good < 1)))
+
+    return ActivationResult(
+        idepth=idepth.reshape(F, C),
+        accepted=accepted.reshape(F, C),
+        dropped=dropped.reshape(F, C),
+        res_good=in_fin.reshape(F, C, F),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "h1", "w1"))
+def activation_candidates(
+    imm: ImmatureSet,
+    dist_map,  # (h1, w1) level-1 distance map
+    KRKi1,  # (F, 3, 3) host level-0 -> newest level-1
+    Kt1,  # (F, 3)
+    host_valid,
+    newest_slot,
+    min_act_dist,
+    settings: Settings = default_settings(),
+    *,
+    h1: int,
+    w1: int,
+):
+    """The distance-map candidate gate of activatePointsMT
+    (FullSystem.cpp:841-903). Returns (candidate, delete) masks (F, C)."""
+    F, C = imm.u.shape
+    st = imm.status
+
+    bad = ~jnp.isfinite(imm.idepth_max) | (st == trace_ops.IPS_OUTLIER)
+    can_activate = (
+        (
+            (st == trace_ops.IPS_GOOD)
+            | (st == trace_ops.IPS_SKIPPED)
+            | (st == trace_ops.IPS_BADCONDITION)
+            | (st == trace_ops.IPS_OOB)
+        )
+        & (imm.pixel_interval < 8)
+        & (imm.quality > settings.min_trace_quality)
+        & ((imm.idepth_max + imm.idepth_min) > 0)
+    )
+
+    mid = 0.5 * (imm.idepth_max + imm.idepth_min)
+    ones = jnp.ones_like(imm.u)
+    P = jnp.stack([imm.u, imm.v, ones], -1)  # (F, C, 3)
+    ptp = jnp.einsum("fij,fcj->fci", KRKi1, P) + Kt1[:, None, :] * mid[..., None]
+    u1 = ptp[..., 0] / ptp[..., 2]
+    v1 = ptp[..., 1] / ptp[..., 2]
+    iu = (u1 + 0.5).astype(jnp.int32)
+    iv = (v1 + 0.5).astype(jnp.int32)
+    inb = (iu > 0) & (iv > 0) & (iu < w1) & (iv < h1)
+
+    safe_u = jnp.clip(iu, 0, w1 - 1)
+    safe_v = jnp.clip(iv, 0, h1 - 1)
+    dist = dist_map[safe_v, safe_u] + (ptp[..., 0] - jnp.floor(ptp[..., 0]))
+    far_enough = dist >= min_act_dist * imm.my_type.astype(imm.u.dtype)
+
+    not_newest = jnp.arange(F)[:, None] != newest_slot
+    base = imm.valid & host_valid[:, None] & not_newest
+
+    candidate = base & ~bad & can_activate & inb & far_enough
+    delete = base & (bad | (can_activate & ~inb))
+    return candidate, delete, iu, iv
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def trace_on_nonkey(
+    imm: ImmatureSet,
+    KRKi,  # (F, 3, 3) host -> new frame
+    Kt,  # (F, 3)
+    R_new,  # (F, 3, 3) host -> new rotation (unprojected)
+    t_new,  # (F, 3)
+    aff,  # (F, 2)
+    dI_new,
+    dI_right,
+    K,  # (3, 3) level-0 intrinsics
+    baseline,
+    host_valid,
+    settings: Settings = default_settings(),
+) -> ImmatureSet:
+    """traceNewCoarseNonKey (FullSystem.cpp:632-744): temporal epipolar trace
+    onto the new frame, then L->R / R->L static-stereo refinement at the found
+    position, and reprojection of the refined inverse-depth interval back into
+    the host keyframe. Keeps the reference's acceptance quirk (:707: reject
+    only when u_delta > 1 AND disparity < 10)."""
+    F, C = imm.u.shape
+    imm = trace_on_frame(imm, KRKi, Kt, aff, dI_new, host_valid, settings)
+
+    good = imm.valid & host_valid[:, None] & (imm.status == trace_ops.IPS_GOOD)
+    Hd, Wd = dI_new.shape[:2]
+    u2 = jnp.clip(imm.last_uv[..., 0].reshape(-1), 8.0, Wd - 9.0)
+    v2 = jnp.clip(imm.last_uv[..., 1].reshape(-1), 8.0, Hd - 9.0)
+
+    # project the host interval into the new frame (:676-686)
+    ones = jnp.ones_like(imm.u)
+    P = jnp.stack([imm.u, imm.v, ones], -1)  # (F, C, 3)
+    ptp_min = (
+        jnp.einsum("fij,fcj->fci", KRKi, P / imm.idepth_min[..., None])
+        + Kt[:, None, :]
+    )
+    id_min_proj = (1.0 / ptp_min[..., 2]).reshape(-1)
+    ptp_max = (
+        jnp.einsum("fij,fcj->fci", KRKi, P / imm.idepth_max[..., None])
+        + Kt[:, None, :]
+    )
+    id_max_proj = (1.0 / ptp_max[..., 2]).reshape(-1)
+
+    color2, weights2, gradH2, eth2 = trace_ops.extract_point_data(
+        dI_new, u2, v2, settings
+    )
+    n = u2.shape[0]
+    fresh_q = jnp.full((n,), 10000.0)
+    fresh_st = jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32)
+
+    res_lr, idepth_stereo = trace_ops.trace_stereo(
+        u2, v2, id_min_proj, id_max_proj, color2, weights2, gradH2, eth2,
+        fresh_q, fresh_st, K, baseline, dI_right,
+        mode_right=True, settings=settings,
+    )
+    stereo_good = res_lr.status == trace_ops.IPS_GOOD
+
+    u3 = jnp.clip(res_lr.last_uv[:, 0], 8.0, Wd - 9.0)
+    v3 = jnp.clip(res_lr.last_uv[:, 1], 8.0, Hd - 9.0)
+    color3, weights3, gradH3, eth3 = trace_ops.extract_point_data(
+        dI_right, u3, v3, settings
+    )
+    res_rl, _ = trace_ops.trace_stereo(
+        u3, v3, id_min_proj, id_max_proj, color3, weights3, gradH3, eth3,
+        jnp.full((n,), 10000.0), jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        K, baseline, dI_new, mode_right=False, settings=settings,
+    )
+
+    u_delta = jnp.abs(u2 - res_rl.last_uv[:, 0])
+    disparity = u2 - res_lr.last_uv[:, 0]
+    reject = stereo_good & (u_delta > 1.0) & (disparity < 10.0)
+    accept = stereo_good & ~reject
+
+    # reproject refined interval back into the host (:713-720)
+    Ki = jnp.linalg.inv(K)
+    P2 = jnp.stack([u2, v2, jnp.ones_like(u2)], -1)  # (n, 3)
+    KiP2 = jnp.einsum("ij,nj->ni", Ki, P2)
+    KRi = jnp.einsum("ij,fkj->fik", K, R_new)  # K @ R^T per host (F,3,3)
+    KRi_flat = KRi[jnp.repeat(jnp.arange(F), C)]
+    t_flat = t_new[jnp.repeat(jnp.arange(F), C)]
+
+    def backproj(id_stereo):
+        pinv = jnp.einsum(
+            "nij,nj->ni", KRi_flat, KiP2 / id_stereo[:, None] - t_flat
+        )
+        return 1.0 / pinv[:, 2]
+
+    id_min_new = backproj(res_lr.idepth_min)
+    id_max_new = backproj(res_lr.idepth_max)
+
+    good_f = good.reshape(-1)
+    upd = good_f & accept
+    rej = good_f & reject
+    out_min = jnp.where(upd, id_min_new, imm.idepth_min.reshape(-1))
+    out_max = jnp.where(upd, id_max_new, imm.idepth_max.reshape(-1))
+    out_st = jnp.where(
+        rej, trace_ops.IPS_OUTLIER, imm.status.reshape(-1)
+    )
+    return imm.replace(
+        idepth_min=out_min.reshape(F, C),
+        idepth_max=out_max.reshape(F, C),
+        status=out_st.reshape(F, C),
+    )

@@ -69,7 +69,9 @@ def _bilinear3_frames(dI_stack, f_idx, x, y):
         )[0]
 
     p = jax.vmap(grab)(
-        jnp.broadcast_to(f_idx, x.shape).ravel(), iy.ravel(), ix.ravel()
+        jnp.broadcast_to(f_idx, x.shape).ravel().astype(jnp.int32),
+        iy.ravel(),
+        ix.ravel(),
     ).reshape(x.shape + (2, 2, 3))
     top = (1 - fx) * p[..., 0, 0, :] + fx * p[..., 0, 1, :]
     bot = (1 - fx) * p[..., 1, 0, :] + fx * p[..., 1, 1, :]

@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from stereo_dso_g2o_tpu.config import Settings
+from stereo_dso_g2o_tpu.frontend.full_system import FullSystem
+from stereo_dso_g2o_tpu.io import synthetic, trajectory
+from stereo_dso_g2o_tpu.models.camera import make_calib
+from stereo_dso_g2o_tpu.utils import se3
+import jax.numpy as jnp
+
+W_, H_ = 256, 128
+BASE = 0.12
+
+
+def _sequence(n_frames=10, seed=0):
+    scene = synthetic.default_scene(seed)
+    K = synthetic.default_K(W_, H_)
+    poses = []
+    frames = []
+    for i in range(n_frames):
+        xi = np.array(
+            [0.025 * i, -0.008 * i, 0.04 * i, 0.002 * i, 0.004 * i, -0.001 * i]
+        )
+        T = np.asarray(se3.se3_exp(jnp.asarray(xi)), dtype=np.float64)
+        poses.append(np.linalg.inv(T))  # camToWorld
+        left, right, _ = synthetic.render_stereo_pair(scene, K, W_, H_, BASE, T)
+        frames.append((left, right))
+    return K, poses, frames
+
+
+SET = Settings(
+    desired_point_density=600.0,
+    desired_immature_density=450.0,
+    immature_cap=512,
+    active_cap=1024,
+)
+
+
+def test_full_system_synthetic_sequence():
+    K, poses_gt, frames = _sequence(10)
+    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_, n_levels=5)
+    fs = FullSystem(calib, SET)
+    for i, (left, right) in enumerate(frames):
+        fs.add_frame(left, right, i, timestamp=0.1 * i)
+        assert not fs.is_lost, f"lost at frame {i}"
+
+    traj = fs.trajectory()
+    assert len(traj) == 10
+    ate = trajectory.ate_rmse(traj, poses_gt)
+    # scene is ~5m away, motion ~25cm/frame; a few mm ATE is healthy
+    assert ate < 0.03, ate
+
+    # scale should be roughly right thanks to static stereo (no Sim3 cheat)
+    ate_sim = trajectory.ate_rmse(traj, poses_gt, align_scale=True)
+    assert ate_sim <= ate + 1e-9
+    assert ate < 3 * max(ate_sim, 1e-4), (ate, ate_sim)
+
+
+def test_full_system_keyframes_and_window():
+    K, poses_gt, frames = _sequence(12, seed=2)
+    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_, n_levels=5)
+    fs = FullSystem(calib, SET)
+    for i, (left, right) in enumerate(frames):
+        fs.add_frame(left, right, i)
+    # window stays within capacity and has at least min frames once warmed up
+    assert 1 <= len(fs.kf_slots) <= SET.max_frames + 1
+    assert len(fs.kf_shells) >= 2
+    # active point count is controlled
+    import jax.numpy as jnp
+    from stereo_dso_g2o_tpu.backend import window as W
+
+    n_active = int(np.asarray(fs.win.pt_status == W.PT_ACTIVE).sum())
+    assert 50 < n_active <= SET.active_cap * 2, n_active
+
+
+def test_trajectory_eval_helpers(tmp_path):
+    rng = np.random.default_rng(0)
+    poses = []
+    T = np.eye(4)
+    for i in range(50):
+        T = T.copy()
+        T[:3, 3] += [0.5, 0.01 * rng.standard_normal(), 1.0]
+        poses.append(T)
+    p = tmp_path / "traj.txt"
+    trajectory.write_kitti(str(p), poses)
+    back = trajectory.read_kitti(str(p))
+    assert len(back) == 50
+    np.testing.assert_allclose(back[10], poses[10], atol=1e-4)
+    assert trajectory.ate_rmse(poses, poses) < 1e-9
+    t_err, r_err = trajectory.kitti_rel_errors(poses, poses, lengths=(10, 20), step=5)
+    assert t_err < 1e-6 and r_err < 1e-6
