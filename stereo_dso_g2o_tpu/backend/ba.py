@@ -49,7 +49,9 @@ from stereo_dso_g2o_tpu.config import (
 from stereo_dso_g2o_tpu.ops import residuals as R
 from stereo_dso_g2o_tpu.utils import se3
 
-C_SCALE = jnp.asarray([SCALE_F, SCALE_F, SCALE_C, SCALE_C], dtype=jnp.float32)
+import numpy as _np
+
+C_SCALE = _np.asarray([SCALE_F, SCALE_F, SCALE_C, SCALE_C], dtype=_np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +189,7 @@ def accumulate_top(
     mode: int,
     settings: Settings,
     use_prior: bool,
+    axis_name=None,
 ):
     """AccumulatedTopHessianSSE::addPoint<mode> + stitchDouble."""
     F = win.F
@@ -277,6 +280,12 @@ def accumulate_top(
     bout = bout.at[CPARS:].set(bf.reshape(-1))
     bout = bout.at[:CPARS].set(bc)
 
+    if axis_name is not None:
+        # distributed BA: the pair-block sums are partial over the local point
+        # shard; all-reduce before (replicated) priors (SURVEY.md par. 5)
+        Hout = jax.lax.psum(Hout, axis_name)
+        bout = jax.lax.psum(bout, axis_name)
+
     if use_prior:
         prior_f = frame_priors(win, settings)
         d_prior = win.state  # delta_prior = state - priorZero(=0)
@@ -301,6 +310,8 @@ def accumulate_top(
         axis=1,
     )
     nres = jnp.sum(mask)
+    if axis_name is not None:
+        nres = jax.lax.psum(nres, axis_name)
     return Accum(H=Hout, b=bout, Hdd=Hdd, bd=bd, Hcd=Hcd, nres=nres)
 
 
@@ -330,6 +341,7 @@ def accumulate_sc(
     acc: Accum,
     prior_pt,  # (NP,)
     shift_prior_to_zero: bool,
+    axis_name=None,
 ):
     """AccumulatedSCHessianSSE::addPoint + stitchDouble."""
     F = win.F
@@ -408,6 +420,9 @@ def accumulate_sc(
     Hout = Hout.at[CPARS:, CPARS:].add(
         Hff.transpose(0, 2, 1, 3).reshape(8 * F, 8 * F)
     )
+    if axis_name is not None:
+        Hout = jax.lax.psum(Hout, axis_name)
+        bout = jax.lax.psum(bout, axis_name)
     return Schur(
         H=Hout,
         b=bout,
@@ -556,7 +571,7 @@ def apply_step(win: W.Window, out: SolveOut) -> W.Window:
     )
 
 
-def step_converged(win: W.Window, out: SolveOut, settings: Settings):
+def step_converged(win: W.Window, out: SolveOut, settings: Settings, axis_name=None):
     """Convergence test of doStepFromBackup (:289-304)."""
     nf = jnp.maximum(jnp.sum(win.frame_valid), 1)
     sumA = jnp.sum(out.step_f[:, 6] ** 2) / nf
@@ -564,8 +579,12 @@ def step_converged(win: W.Window, out: SolveOut, settings: Settings):
     sumT = jnp.sum(out.step_f[:, 0:3] ** 2) / nf
     sumR = jnp.sum(out.step_f[:, 3:6] ** 2) / nf
     pt_ok = win.pt_status == W.PT_ACTIVE
-    n_pt = jnp.maximum(jnp.sum(pt_ok), 1)
-    sumNID = jnp.sum(jnp.where(pt_ok, jnp.abs(win.pt_idepth), 0.0)) / n_pt
+    n_pt = jnp.sum(pt_ok)
+    sum_id = jnp.sum(jnp.where(pt_ok, jnp.abs(win.pt_idepth), 0.0))
+    if axis_name is not None:
+        n_pt = jax.lax.psum(n_pt, axis_name)
+        sum_id = jax.lax.psum(sum_id, axis_name)
+    sumNID = sum_id / jnp.maximum(n_pt, 1)
     th = settings.th_opt_iterations
     return (
         (jnp.sqrt(sumA) < 0.0005 * th)
@@ -580,9 +599,10 @@ def step_converged(win: W.Window, out: SolveOut, settings: Settings):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
+@functools.partial(jax.jit, static_argnames=("settings", "axis_name"))
 def ba_iteration(
-    win: W.Window, dI_stack, iteration, settings: Settings = default_settings()
+    win: W.Window, dI_stack, iteration, settings: Settings = default_settings(),
+    axis_name=None,
 ):
     """One GN/LM iteration of the windowed BA (legacy optimize loop body with
     setting_forceAceptStep=true: linearize -> accumulate -> solve -> step)."""
@@ -594,9 +614,12 @@ def ba_iteration(
     AH, AT = adjoints(win)
     active = win.res_exists & (win.res_state == W.RES_IN)
     mode0 = active & ~win.res_linearized
-    accA = accumulate_top(win, AH, AT, mode0, 0, settings, use_prior=False)
+    accA = accumulate_top(
+        win, AH, AT, mode0, 0, settings, use_prior=False, axis_name=axis_name
+    )
     accL = accumulate_top(
-        win, AH, AT, active & win.res_linearized, 1, settings, use_prior=True
+        win, AH, AT, active & win.res_linearized, 1, settings, use_prior=True,
+        axis_name=axis_name,
     )
     acc = Accum(
         H=accA.H + accL.H,
@@ -607,13 +630,17 @@ def ba_iteration(
         nres=accA.nres,
     )
     prior_pt = point_prior(win, settings)
-    sc = accumulate_sc(win, AH, AT, active, acc, prior_pt, True)
+    sc = accumulate_sc(
+        win, AH, AT, active, acc, prior_pt, True, axis_name=axis_name
+    )
     out = solve_system(win, acc, sc, settings, iteration)
     win = apply_step(win, out)
     win = win.replace(pt_idepth_hessian=sc.idepth_hessian)
 
     energy = jnp.sum(jnp.where(active_set, lin.energy, 0.0))
-    converged = step_converged(win, out, settings)
+    if axis_name is not None:
+        energy = jax.lax.psum(energy, axis_name)
+    converged = step_converged(win, out, settings, axis_name=axis_name)
     return win, energy, converged, acc.nres
 
 

@@ -51,9 +51,11 @@ RES_IN = 0
 RES_OOB = 1
 RES_OUTLIER = 2
 
-STATE_SCALE = jnp.asarray(
+import numpy as _np
+
+STATE_SCALE = _np.asarray(
     [SCALE_XI_TRANS] * 3 + [SCALE_XI_ROT] * 3 + [SCALE_A, SCALE_B],
-    dtype=jnp.float32,
+    dtype=_np.float32,
 )
 
 
