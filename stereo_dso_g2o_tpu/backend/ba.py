@@ -923,3 +923,37 @@ def marginalize_frame(
         prior=win.prior.at[slot].set(0.0),
     )
     return win
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "max_its"))
+def optimize_fused(
+    win: W.Window,
+    dI_stack,
+    settings: Settings = default_settings(),
+    max_its: int = 6,
+):
+    """The whole GN loop as ONE device program (fori_loop with a done flag —
+    converged iterations freeze the state instead of exiting early, which is
+    equivalent under setting_forceAceptStep)."""
+
+    def body(it, carry):
+        win_c, energy, nres, done = carry
+        win_n, e, conv, nr = ba_iteration(
+            win_c, dI_stack, it, settings=settings
+        )
+        win_out = jax.tree.map(
+            lambda a, b: jnp.where(done, a, b), win_c, win_n
+        )
+        e_out = jnp.where(done, energy, e).astype(jnp.float32)
+        nr_out = jnp.where(done, nres, nr).astype(jnp.int32)
+        done_out = done | (conv & (it + 1 >= settings.min_opt_iterations))
+        return (win_out, e_out, nr_out, done_out)
+
+    init = (
+        win,
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    win, energy, nres, _ = jax.lax.fori_loop(0, max_its, body, init)
+    return win, energy, nres

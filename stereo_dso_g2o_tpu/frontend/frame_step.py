@@ -1,0 +1,239 @@
+"""Fused per-frame device programs.
+
+The reference's per-frame path is a C++ call tree with free function calls;
+the TPU-native equivalent keeps the WHOLE frame step inside one XLA program —
+host code only branches on the keyframe decision and the (rare) retry ladder
+(SURVEY.md par. 7 hard parts: "host-device round-trips in the per-frame
+loop"). This matters doubly here because every host<->device synchronization
+carries real dispatch latency.
+
+Programs:
+- `track_cascade`: the full coarse-to-fine LM cascade over all pyramid
+  levels (trackNewestCoarse) in-graph, with abort/affine gates as flags.
+- `nonkey_step`: pyramid build + cascade + temporal/stereo depth refinement
+  (makeNonKeyFrame) as ONE program; returns a small scalar bundle for the
+  keyframe decision.
+- `kf_track_step`: pyramid build + cascade only (used when the previous
+  frame decided a keyframe is needed -> the heavy KF path follows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_dso_g2o_tpu.backend import window as W
+from stereo_dso_g2o_tpu.config import Settings, default_settings
+from stereo_dso_g2o_tpu.frontend import immature as IMM
+from stereo_dso_g2o_tpu.models.camera import Calib
+from stereo_dso_g2o_tpu.ops import tracker_ops
+from stereo_dso_g2o_tpu.ops.pyramid import build_pyramid
+
+
+class TrackOut(NamedTuple):
+    T: jax.Array  # (4,4) refToNew
+    aff: jax.Array  # (2,)
+    residuals: jax.Array  # (L,)
+    flow: jax.Array  # (3,)
+    ok: jax.Array  # () bool
+    sat_frac0: jax.Array  # () saturation fraction at the finest level
+
+
+def _k_levels(calib: Calib):
+    return [
+        jnp.stack([calib.fx(l), calib.fy(l), calib.cx(l), calib.cy(l)])
+        for l in range(calib.n_levels)
+    ]
+
+
+def track_cascade(
+    ref,  # tuple of per-level (pc_u, pc_v, pc_id, pc_color, pc_ok)
+    dI_new_pyr,  # tuple of (H_l, W_l, 3)
+    calib: Calib,
+    T_init,
+    aff_init,
+    ref_aff,
+    ref_exposure,
+    new_exposure,
+    min_res_for_abort,  # (L,)
+    settings: Settings,
+) -> TrackOut:
+    """In-graph trackNewestCoarse: the per-level LM cascade with abort and
+    affine sanity gates expressed as carried flags (no host branching).
+
+    Deviation from the host path: the cutoff-repeat loop (legacy :897-906)
+    is not replayed in-graph; the caller can inspect sat_frac0 and rerun the
+    host path for the rare >60% saturation case.
+    """
+    from stereo_dso_g2o_tpu.frontend.coarse_tracker import MAX_ITERATIONS
+
+    n_levels = calib.n_levels
+    Ks = _k_levels(calib)
+    T = jnp.asarray(T_init, jnp.float32)
+    aff = jnp.asarray(aff_init, jnp.float32)
+    ok = jnp.asarray(True)
+    residuals = jnp.full((n_levels,), jnp.nan, jnp.float32)
+    flow = jnp.asarray([100.0, 0.0, 100.0], jnp.float32)
+    sat0 = jnp.asarray(0.0, jnp.float32)
+
+    for lvl in range(n_levels - 1, -1, -1):
+        pc_u, pc_v, pc_id, pc_color, pc_ok = ref[lvl]
+        out = tracker_ops.lm_level(
+            pc_u, pc_v, pc_id, pc_color, pc_ok, dI_new_pyr[lvl], Ks[lvl],
+            T, aff, ref_aff, ref_exposure, new_exposure,
+            jnp.float32(1.0), settings=settings,
+            max_iterations=MAX_ITERATIONS[min(lvl, len(MAX_ITERATIONS) - 1)],
+        )
+        res = out.res_per_point
+        lvl_ok = jnp.isfinite(res) & (res <= 1.5 * min_res_for_abort[lvl])
+        T = jnp.where(ok & lvl_ok, out.T, T)
+        aff = jnp.where(ok & lvl_ok, out.aff, aff)
+        residuals = residuals.at[lvl].set(jnp.where(ok, res, jnp.nan))
+        if lvl == 0:
+            flow = jnp.where(
+                ok,
+                jnp.stack([out.flow_t, jnp.asarray(0.0, jnp.float32), out.flow_rt]),
+                flow,
+            )
+            sat0 = out.sat_frac
+        ok = ok & lvl_ok
+
+    # affine sanity gates (trackNewestCoarse :1075-1095)
+    s = settings
+    a_bad = (s.affine_opt_mode_a != 0) & (jnp.abs(aff[0]) > 1.2)
+    b_bad = (s.affine_opt_mode_b != 0) & (jnp.abs(aff[1]) > 200.0)
+    ok = ok & ~a_bad & ~b_bad
+
+    return TrackOut(T=T, aff=aff, residuals=residuals, flow=flow, ok=ok, sat_frac0=sat0)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels", "is_kf"))
+def frame_step(
+    left,  # (H, W) raw left image
+    right,  # (H, W) raw right image
+    ref,  # tracker reference (tuple of per-level tuples)
+    win: W.Window,
+    imm: IMM.ImmatureSet,
+    calib_c,  # (4,) intrinsics value
+    baseline,
+    ref_slot,  # tracker reference keyframe slot in the window
+    T_init,
+    aff_init,
+    ref_aff,
+    ref_exposure,
+    new_exposure,
+    min_res_for_abort,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+    is_kf: bool = False,
+):
+    """ONE device program for a frame: pyramids + tracking cascade (+ for
+    non-keyframes, the temporal/stereo depth refinement of every immature
+    point). Returns ((dIpL, dIpR), imm', TrackOut)."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(left.shape[1] >> l for l in range(n_levels)),
+        h=tuple(left.shape[0] >> l for l in range(n_levels)),
+    )
+    dIpL, asgL = build_pyramid(left, n_levels)
+    dIpR, _ = build_pyramid(right, n_levels)
+
+    track = track_cascade(
+        ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
+        new_exposure, min_res_for_abort, settings,
+    )
+
+    if not is_kf:
+        imm = _nonkey_refine(
+            win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
+            new_exposure, ref_slot, baseline, settings,
+        )
+
+    return (dIpL, dIpR), imm, track
+
+
+def _nonkey_refine(win, imm, dI_left0, dI_right0, calib, T_ref_new, aff_new,
+                   new_exposure, ref_slot, baseline, settings):
+    """makeNonKeyFrame's depth refinement, in-graph: per-host transforms to
+    the new frame from window state + the tracked relative pose."""
+    w2c = win.w2c()  # (F,4,4)
+    T_new = T_ref_new @ w2c[ref_slot]  # w2c_new = refToNew @ w2c_ref
+    K = calib.K(0)
+    Ki = calib.Ki(0)
+    # T_hn[f] = T_new @ inv(w2c[f]) : host f -> new frame
+    T_hn = jnp.einsum("ij,fjk->fik", T_new, jnp.linalg.inv(w2c))
+    R_hn = T_hn[:, :3, :3]
+    t_hn = T_hn[:, :3, 3]
+    KRKi = jnp.einsum("ij,fjk,kl->fil", K, R_hn, Ki)
+    Kt = jnp.einsum("ij,fj->fi", K, t_hn)
+    aff_host = win.aff_g2l()
+    a_rel = (
+        jnp.exp(aff_new[0] - aff_host[:, 0])
+        * new_exposure
+        / jnp.maximum(win.ab_exposure, 1e-9)
+    )
+    b_rel = aff_new[1] - a_rel * aff_host[:, 1]
+    aff_ht = jnp.stack([a_rel, b_rel], axis=-1)
+
+    return IMM.trace_on_nonkey(
+        imm, KRKi, Kt, R_hn, t_hn, aff_ht, dI_left0, dI_right0, K, baseline,
+        win.frame_valid, settings=settings,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels"))
+def cascade_step(
+    dIpL,  # tuple of per-level (H_l, W_l, 3) pyramids (already built)
+    ref,
+    calib_c,
+    baseline,
+    T_init,
+    aff_init,
+    ref_aff,
+    ref_exposure,
+    new_exposure,
+    min_res_for_abort,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+) -> TrackOut:
+    """Tracking cascade only (one extra retry-ladder hypothesis per call)."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(dIpL[0].shape[1] >> l for l in range(n_levels)),
+        h=tuple(dIpL[0].shape[0] >> l for l in range(n_levels)),
+    )
+    return track_cascade(
+        ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
+        new_exposure, min_res_for_abort, settings,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels"))
+def nonkey_refine_step(
+    win, imm, dI_left0, dI_right0, calib_c, baseline, ref_slot,
+    T_ref_new, aff_new, new_exposure,
+    settings: Settings = default_settings(), n_levels: int = 6,
+):
+    """Standalone non-keyframe depth refinement (used when the retry ladder
+    replaced the speculative pose of the fused step)."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(dI_left0.shape[1] >> l for l in range(n_levels)),
+        h=tuple(dI_left0.shape[0] >> l for l in range(n_levels)),
+    )
+    return _nonkey_refine(
+        win, imm, dI_left0, dI_right0, calib, T_ref_new, aff_new,
+        new_exposure, ref_slot, baseline, settings,
+    )

@@ -46,6 +46,7 @@ from stereo_dso_g2o_tpu.ops import trace as trace_ops
 from stereo_dso_g2o_tpu.ops.pyramid import build_pyramid
 from stereo_dso_g2o_tpu.ops.selector import PixelSelector, map_to_points
 from stereo_dso_g2o_tpu.utils import se3
+from stereo_dso_g2o_tpu.utils.timing import PROF
 
 
 @dataclasses.dataclass
@@ -75,6 +76,7 @@ class FullSystem:
         self.is_lost = False
 
         self.history: List[FrameShell] = []
+        self.slot_meta = {}  # slot -> (exposure, aff np) host cache
         self.kf_shells: List[FrameShell] = []  # by keyframe id
         self.kf_slots: List[int] = []  # window order oldest..newest
         self.slot_frame_id: dict = {}
@@ -113,11 +115,13 @@ class FullSystem:
         if self.is_lost:
             return
         n_lvl = self.n_levels
-        dIpL, asgL = build_pyramid(jnp.asarray(left, jnp.float32), n_lvl)
-        dIpR, _ = build_pyramid(jnp.asarray(right, jnp.float32), n_lvl)
+        left_dev = jnp.asarray(left, jnp.float32)
+        right_dev = jnp.asarray(right, jnp.float32)
 
         if not self.initialized:
             # frame 0: store the stereo pair; first KF is created on frame 1
+            dIpL, asgL = build_pyramid(left_dev, n_lvl)
+            dIpR, _ = build_pyramid(right_dev, n_lvl)
             self.first_pair = (dIpL, dIpR, asgL, exposure)
             self.history.append(
                 FrameShell(frame_id, timestamp, np.eye(4), -1, np.zeros(2))
@@ -130,9 +134,18 @@ class FullSystem:
             # then track frame 1 against it (FullSystem.cpp:305-345 branch)
             self._initialize_first_kf()
 
-        self._track_and_deliver(
-            dIpL, dIpR, asgL, frame_id, timestamp, exposure
-        )
+        with PROF.section("track_frame"):
+            out = self._track_frame(
+                left_dev, right_dev, frame_id, timestamp, exposure
+            )
+        if out is None:
+            return
+        pyrs, imm_new, best_T, best_aff, flow, achieved, rmse0 = out
+        with PROF.section("deliver"):
+            self._deliver(
+                pyrs, imm_new, best_T, best_aff, flow, achieved, rmse0,
+                frame_id, timestamp, exposure,
+            )
 
     # ------------------------------------------------------------------
     def _initialize_first_kf(self):
@@ -188,6 +201,7 @@ class FullSystem:
         self.right_slots[slot] = dIpR[0]
         self.kf_slots = [slot]
         self.slot_frame_id[slot] = kf_id
+        self.slot_meta[slot] = (exposure, np.zeros(2))
         shell = self.history[0]
         shell.is_kf = True
         shell.T_cw = np.eye(4)
@@ -203,12 +217,19 @@ class FullSystem:
 
     # ------------------------------------------------------------------
     def _track_and_deliver(self, dIpL, dIpR, asgL, frame_id, timestamp, exposure):
+        raise NotImplementedError("superseded by the fused frame path")
+
+    def _track_frame(self, left_dev, right_dev, frame_id, timestamp, exposure):
+        """Fused fast path: ONE device program tracks the frame (and runs the
+        non-keyframe depth refinement speculatively); the host syncs once on a
+        small scalar bundle. The multi-hypothesis ladder and the cutoff-repeat
+        path fall back to the per-level host cascade (rare)."""
+        from stereo_dso_g2o_tpu.frontend import frame_step as FS
+
         s = self.settings
         n_lvl = self.n_levels
 
-        # pose hypothesis ladder (trackNewCoarse)
         ref_kf_id = self.tracker.ref_frame_id
-        T_w_lastF = np.linalg.inv(self._kf_T_cw(ref_kf_id))  # worldToCam of ref
         if len(self.history) >= 3:
             sl = self.history[-1]
             spl = self.history[-2]
@@ -220,46 +241,91 @@ class FullSystem:
             tries = [np.eye(4)] + rotation_ladder()
             aff_last = np.zeros(2)
 
-        achieved = np.full(n_lvl, np.nan)
-        best = None
-        flow = np.array([100.0, 0.0, 100.0])
-        for i, T_try in enumerate(tries):
-            res = self.tracker.track_newest_coarse(
-                dIpL, T_try, aff_last, n_lvl - 1,
-                np.where(np.isfinite(achieved), achieved, np.inf),
-                new_exposure=exposure,
-            )
-            ok = (
-                res.ok
-                and np.isfinite(res.residuals[0])
-                and not (res.residuals[0] >= achieved[0])
-            ) if np.isfinite(achieved[0]) else (res.ok and np.isfinite(res.residuals[0]))
-            if ok:
-                best = res
-                flow = res.flow
-            if best is not None:
-                upd = ~np.isfinite(achieved) | (achieved > res.residuals)
-                achieved = np.where(
-                    upd & np.isfinite(res.residuals), res.residuals, achieved
-                )
-            if best is not None and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold:
-                break
+        ref_slot = self.kf_slots[-1]
+        abort_inf = jnp.full(n_lvl, jnp.inf, jnp.float32)
+        (dIpL, dIpR), imm_new, track = FS.frame_step(
+            left_dev, right_dev, tuple(self.tracker.ref), self.win, self.imm,
+            self.calib.c, self.calib.baseline, jnp.asarray(ref_slot),
+            jnp.asarray(tries[0], jnp.float32),
+            jnp.asarray(aff_last, jnp.float32),
+            self.tracker.ref_aff, jnp.float32(self.tracker.ref_exposure),
+            jnp.float32(exposure), abort_inf,
+            settings=s, n_levels=n_lvl, is_kf=False,
+        )
+        # ONE host sync for the whole frame
+        T_np, aff_np, res_np, flow_np, ok_np, sat_np = jax.device_get(
+            (track.T, track.aff, track.residuals, track.flow, track.ok,
+             track.sat_frac0)
+        )
 
-        if best is None:
+        # try-0 bookkeeping (trackNewCoarse STEP2-4)
+        achieved = np.full(n_lvl, np.nan)
+        best_T = None
+        flow = np.array([100.0, 0.0, 100.0])
+        if bool(ok_np) and np.isfinite(res_np[0]) and float(sat_np) <= 0.6:
+            best_T = np.asarray(T_np, np.float64)
+            best_aff = np.asarray(aff_np, np.float64)
+            flow = np.asarray(flow_np, np.float64)
+            achieved = np.where(np.isfinite(res_np), res_np, np.nan)
+
+        speculative_ok = best_T is not None  # imm_new matches this pose
+
+        if not (
+            best_T is not None
+            and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
+        ):
+            # retry ladder: each extra hypothesis is ONE fused cascade call
+            for T_try in tries[1:]:
+                abort = jnp.asarray(
+                    np.where(np.isfinite(achieved), achieved, np.inf), jnp.float32
+                )
+                tr = FS.cascade_step(
+                    dIpL, tuple(self.tracker.ref), self.calib.c,
+                    self.calib.baseline, jnp.asarray(T_try, jnp.float32),
+                    jnp.asarray(aff_last, jnp.float32), self.tracker.ref_aff,
+                    jnp.float32(self.tracker.ref_exposure), jnp.float32(exposure),
+                    abort, settings=s, n_levels=n_lvl,
+                )
+                T2, a2, r2, f2, ok2 = jax.device_get(
+                    (tr.T, tr.aff, tr.residuals, tr.flow, tr.ok)
+                )
+                took = bool(ok2) and np.isfinite(r2[0]) and (
+                    not np.isfinite(achieved[0]) or r2[0] < achieved[0]
+                )
+                if took:
+                    best_T = np.asarray(T2, np.float64)
+                    best_aff = np.asarray(a2, np.float64)
+                    flow = np.asarray(f2, np.float64)
+                    speculative_ok = False
+                if best_T is not None:
+                    upd = ~np.isfinite(achieved) | (achieved > r2)
+                    achieved = np.where(upd & np.isfinite(r2), r2, achieved)
+                if (
+                    best_T is not None
+                    and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
+                ):
+                    break
+
+        if best_T is None:
             # take predicted pose and hope (FullSystem.cpp:503-508)
             best_T = tries[0]
             best_aff = aff_last
             flow = np.zeros(3)
             coarse_rmse0 = np.inf
         else:
-            best_T = best.T_ref_new
-            best_aff = best.aff
             coarse_rmse0 = achieved[0]
+        if not speculative_ok:
+            imm_new = None  # speculative refinement used a wrong pose
 
         if not np.all(np.isfinite(best_T)):
             self.is_lost = True
-            return
+            return None
+        return (dIpL, dIpR), imm_new, best_T, best_aff, flow, achieved, coarse_rmse0
 
+    def _deliver(self, pyrs, imm_new, best_T, best_aff, flow, achieved,
+                 coarse_rmse0, frame_id, timestamp, exposure):
+        s = self.settings
+        dIpL, dIpR = pyrs
         self.last_coarse_rmse = np.where(
             np.isfinite(achieved), achieved, self.last_coarse_rmse
         )
@@ -272,10 +338,9 @@ class FullSystem:
         )
         self.history.append(shell)
 
-        # keyframe decision (:1127-1152)
+        # keyframe decision (:1127-1152) — all inputs are host-cached
         ref_slot = self.kf_slots[-1]
-        ref_exp = float(np.asarray(self.win.ab_exposure)[ref_slot])
-        ref_aff = self._aff_of_slot(ref_slot)
+        ref_exp, ref_aff = self.slot_meta[ref_slot]
         a_rel = (
             np.exp(best_aff[0] - ref_aff[0]) * exposure / max(ref_exp, 1e-9)
         )
@@ -294,9 +359,14 @@ class FullSystem:
 
         self.stats_n_frames += 1
         if need_kf:
+            # the speculative non-KF depth refinement is discarded (imm is a
+            # functional pytree: the pre-step state is still at hand)
             self._make_keyframe(dIpL, dIpR, shell, best_T, best_aff, exposure)
         else:
-            self._make_non_keyframe(dIpL, dIpR, shell, best_T, best_aff, exposure)
+            if imm_new is not None:
+                self.imm = imm_new  # fused step already refined depths
+            else:
+                self._make_non_keyframe(dIpL, dIpR, shell, best_T, best_aff, exposure)
 
     # ------------------------------------------------------------------
     def _shell_T_cw(self, shell: FrameShell):
@@ -345,15 +415,16 @@ class FullSystem:
 
     # ------------------------------------------------------------------
     def _make_non_keyframe(self, dIpL, dIpR, shell, T_ref_new, aff, exposure):
-        """makeNonKeyFrame: temporal + stereo depth refinement only."""
-        ref_T_cw = self._kf_T_cw(shell.ref_kf_id)
-        T_new_w2c = T_ref_new @ np.linalg.inv(ref_T_cw)
-        KRKi, Kt, Rs, ts = self._host_to_new_mats(T_new_w2c)
-        aff_ht = self._aff_to_new(aff, exposure)
-        self.imm = IMM.trace_on_nonkey(
-            self.imm, KRKi, Kt, Rs, ts, aff_ht, dIpL[0], dIpR[0],
-            self.calib.K(0), self.calib.baseline, self.win.frame_valid,
-            settings=self.settings,
+        """makeNonKeyFrame: temporal + stereo depth refinement only (one
+        fused device call; transforms computed in-graph)."""
+        from stereo_dso_g2o_tpu.frontend import frame_step as FS
+
+        self.imm = FS.nonkey_refine_step(
+            self.win, self.imm, dIpL[0], dIpR[0], self.calib.c,
+            self.calib.baseline, jnp.asarray(self.kf_slots[-1]),
+            jnp.asarray(T_ref_new, jnp.float32),
+            jnp.asarray(aff, jnp.float32), jnp.float32(exposure),
+            settings=self.settings, n_levels=self.n_levels,
         )
 
     # ------------------------------------------------------------------
@@ -364,15 +435,17 @@ class FullSystem:
         T_new_w2c = T_ref_new @ np.linalg.inv(ref_T_cw)
 
         # STEP 1: temporal trace of every immature point onto the new KF
-        KRKi, Kt, _, _ = self._host_to_new_mats(T_new_w2c)
-        aff_ht = self._aff_to_new(aff, exposure)
-        self.imm = IMM.trace_on_frame(
-            self.imm, KRKi, Kt, aff_ht, dIpL[0], self.win.frame_valid,
-            settings=self.settings,
-        )
+        with PROF.section("kf.trace", lambda: self.imm):
+            KRKi, Kt, _, _ = self._host_to_new_mats(T_new_w2c)
+            aff_ht = self._aff_to_new(aff, exposure)
+            self.imm = IMM.trace_on_frame(
+                self.imm, KRKi, Kt, aff_ht, dIpL[0], self.win.frame_valid,
+                settings=self.settings,
+            )
 
         # STEP 2: flag frames for marginalization (host-side policy)
-        flagged = self._flag_frames(aff, exposure)
+        with PROF.section("kf.flag_frames"):
+            flagged = self._flag_frames(aff, exposure)
 
         # STEP 3: insert the new KF into the window
         slot = self._free_slot()
@@ -385,6 +458,7 @@ class FullSystem:
         self.right_slots[slot] = dIpR[0]
         self.kf_slots.append(slot)
         self.slot_frame_id[slot] = kf_id
+        self.slot_meta[slot] = (exposure, np.asarray(best_aff := np.asarray(aff, np.float64)))
         shell.is_kf = True
         shell.T_cw = np.linalg.inv(T_new_w2c)
         self.kf_shells.append(shell)
@@ -400,7 +474,8 @@ class FullSystem:
         dI_stack = self._dI_stack()
 
         # STEP 5: activate points
-        self._activate_points(dI_stack, slot)
+        with PROF.section("kf.activate", lambda: self.win):
+            self._activate_points(dI_stack, slot)
 
         # STEP 6: windowed BA
         max_its = s.max_opt_iterations
@@ -408,14 +483,16 @@ class FullSystem:
             max_its = 20
         elif len(self.kf_slots) < 4:
             max_its = 15
-        self.win, energy, nres = ba.optimize(
-            self.win, dI_stack, settings=s, max_its=max_its
-        )
+        with PROF.section("kf.ba", lambda: self.win):
+            self.win, energy, nres = ba.optimize_fused(
+                self.win, dI_stack, settings=s, max_its=max_its
+            )
         # re-linearize the newest KF at its optimized pose (:1000-1006)
-        self.win = builder.set_frame_eval_pt(self.win, slot)
-        self.win, _ = ba.linearize_all_final(
-            self.win, dI_stack, jnp.asarray(slot), settings=s
-        )
+        with PROF.section("kf.final_linearize", lambda: self.win):
+            self.win = builder.set_frame_eval_pt(self.win, slot)
+            self.win, _ = ba.linearize_all_final(
+                self.win, dI_stack, jnp.asarray(slot), settings=s
+            )
         # remove points with zero remaining residuals (removeOutliers)
         nres_pt = jnp.sum(self.win.res_exists, axis=1)
         self.win = self.win.replace(
@@ -433,12 +510,15 @@ class FullSystem:
             kid = self.slot_frame_id[s_]
             self.kf_shells[kid].T_cw = np.linalg.inv(w2c[s_])
             self.kf_shells[kid].aff = aff_all[s_]
+            self.slot_meta[s_] = (self.slot_meta[s_][0], aff_all[s_])
 
         # STEP 7: rebuild the tracking reference (makeCoarseDepthL0)
-        self._set_tracking_ref(slot, dI_stack)
+        with PROF.section("kf.track_ref"):
+            self._set_tracking_ref(slot, dI_stack)
 
         # STEP 8: flag + marginalize points
         prev_slot = self.kf_slots[-2] if len(self.kf_slots) >= 2 else -1
+        t_marg0 = __import__("time").perf_counter()
         self.win = ba.flag_points_for_removal(
             self.win, dI_stack, jnp.asarray(flagged), jnp.asarray(slot),
             jnp.asarray(prev_slot), settings=s,
@@ -456,21 +536,24 @@ class FullSystem:
             )
             np.add.at(self.kf_out_count, hosts[gone], 1)
         self.win = ba.marginalize_points(self.win, settings=s)
+        PROF.tick("kf.marg_points", t_marg0, self.win)
 
         # STEP 9: seed new immature points on the new KF (makeNewTraces)
-        asg = build_pyramid(dIpL[0][..., 0], 3)[1]
-        status_map, _ = self.selector.make_maps(
-            dIpL[0], asg[0], asg[1], asg[2], s.desired_immature_density
-        )
-        us, vs, types, valid = map_to_points(status_map, s.immature_cap)
-        self.imm = IMM.seed_slot(
-            self.imm, slot, dIpL[0], us, vs, types, valid, settings=s
-        )
+        with PROF.section("kf.new_traces", lambda: self.imm):
+            asg = build_pyramid(dIpL[0][..., 0], 3)[1]
+            status_map, _ = self.selector.make_maps(
+                dIpL[0], asg[0], asg[1], asg[2], s.desired_immature_density
+            )
+            us, vs, types, valid = map_to_points(status_map, s.immature_cap)
+            self.imm = IMM.seed_slot(
+                self.imm, slot, dIpL[0], us, vs, types, valid, settings=s
+            )
 
         # STEP 10: marginalize flagged frames
-        for s_ in list(self.kf_slots):
-            if flagged[s_]:
-                self._marginalize_frame(s_)
+        with PROF.section("kf.marg_frames", lambda: self.win):
+            for s_ in list(self.kf_slots):
+                if flagged[s_]:
+                    self._marginalize_frame(s_)
 
     # ------------------------------------------------------------------
     def _free_slot(self) -> int:
@@ -569,6 +652,8 @@ class FullSystem:
         )
 
         # distance map at level 1 in the newest KF
+        import time as _t
+        _t0=_t.perf_counter()
         pre = W.precalc(self.win)
         h1, w1 = self.calib.h[1], self.calib.w[1]
         K0 = np.asarray(self.calib.K(0), dtype=np.float64)
@@ -604,6 +689,7 @@ class FullSystem:
         pv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(jnp.int32)
         inb = (pu > 0) & (pv > 0) & (pu < w1) & (pv < h1)
         dmap = DM.distance_map(pu, pv, active & inb, h1, w1)
+        PROF.tick("kf.act.distmap", _t0, dmap); _t0=_t.perf_counter()
 
         cand, delete, iu, iv = IMM.activation_candidates(
             self.imm, dmap, KRKi1, Kt1, self.win.frame_valid,
@@ -614,6 +700,7 @@ class FullSystem:
         cand_flat = DM.suppress_same_cell(
             iu.reshape(-1), iv.reshape(-1), cand.reshape(-1), cell=2
         ).reshape(cand.shape)
+        PROF.tick("kf.act.candidates", _t0, cand_flat); _t0=_t.perf_counter()
 
         self.imm = self.imm.replace(valid=self.imm.valid & ~delete)
 
@@ -622,42 +709,12 @@ class FullSystem:
             self.win.frame_valid, dI_stack, self.win.c_value, settings=s,
         )
 
-        # insert accepted points into free window slots (host-side compaction)
-        accepted = np.asarray(act.accepted)
-        acc_idx = np.argwhere(accepted)
-        free = builder.free_point_slots(self.win, len(acc_idx))
-        n_ins = min(len(free), len(acc_idx))
-        if n_ins > 0:
-            hostd = acc_idx[:n_ins, 0]
-            col = acc_idx[:n_ins, 1]
-            idepths = np.asarray(act.idepth)[hostd, col]
-            res_good = np.asarray(act.res_good)[hostd, col]  # (n, F)
-            u_np = np.asarray(self.imm.u)[hostd, col]
-            v_np = np.asarray(self.imm.v)[hostd, col]
-            color_np = np.asarray(self.imm.color)[hostd, col]
-            w_np = np.asarray(self.imm.weights)[hostd, col]
-            eth_np = np.asarray(self.imm.energy_th)[hostd, col]
-            idx = jnp.asarray(free[:n_ins])
-            self.win = builder.insert_points(
-                self.win, idx, 0, jnp.asarray(u_np), jnp.asarray(v_np),
-                jnp.asarray(idepths), jnp.asarray(color_np), jnp.asarray(w_np),
-                jnp.asarray(eth_np), has_prior=False,
-            )
-            # correct per-point host + residuals to IN targets
-            self.win = self.win.replace(
-                pt_host=self.win.pt_host.at[idx].set(jnp.asarray(hostd, jnp.int32)),
-                res_exists=self.win.res_exists.at[idx].set(jnp.asarray(res_good)),
-                res_state=self.win.res_state.at[idx].set(W.RES_IN),
-                res_linearized=self.win.res_linearized.at[idx].set(False),
-            )
-
-        # consumed/dropped immature slots
-        drop = np.asarray(act.dropped)
-        consumed = accepted.copy()
-        consumed[acc_idx[n_ins:, 0], acc_idx[n_ins:, 1]] = False
-        self.imm = self.imm.replace(
-            valid=self.imm.valid & ~jnp.asarray(consumed | drop)
+        PROF.tick("kf.act.optimize", _t0, act); _t0=_t.perf_counter()
+        # device-side fixed-shape insertion (compiles once)
+        self.win, self.imm, n_ins = IMM.insert_activated(
+            self.win, self.imm, act, settings=s
         )
+        PROF.tick("kf.act.insert", _t0, self.win)
 
     # ------------------------------------------------------------------
     def _set_tracking_ref(self, newest_slot, dI_stack):
@@ -755,6 +812,7 @@ class FullSystem:
         self.kf_slots.remove(slot)
         self.kf_out_count[slot] = 0
         del self.slot_frame_id[slot]
+        self.slot_meta.pop(slot, None)
 
     # ------------------------------------------------------------------
     def trajectory(self):

@@ -465,3 +465,76 @@ def trace_on_nonkey(
         idepth_max=out_max.reshape(F, C),
         status=out_st.reshape(F, C),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "max_insert"))
+def insert_activated(
+    win,
+    imm: ImmatureSet,
+    act: ActivationResult,
+    settings: Settings = default_settings(),
+    max_insert: int = 1024,
+):
+    """Device-side compaction of activation results into the Window
+    (activatePointsMT STEP4, FullSystem.cpp:921-947): accepted immature points
+    become PointHessians in free point slots with residuals to their IN
+    targets; consumed and dropped immature slots are invalidated.
+
+    Fixed shapes throughout (max_insert cap) so this compiles once — the
+    variable-count host-side version recompiled every keyframe.
+    """
+    from stereo_dso_g2o_tpu.backend import window as W
+
+    F, C = imm.u.shape
+    acc_flat = (act.accepted & imm.valid).reshape(-1)
+    src = jnp.nonzero(acc_flat, size=max_insert, fill_value=-1)[0]
+    free = jnp.nonzero(win.pt_status == W.PT_INACTIVE, size=max_insert,
+                       fill_value=-1)[0]
+    ok = (src >= 0) & (free >= 0)
+    src_safe = jnp.maximum(src, 0)
+    # scatter destination: valid inserts go to their free slot, the rest are
+    # parked at slot 0 with no-op writes masked by `ok`
+    dst = jnp.where(ok, free, 0)
+
+    host = (src_safe // C).astype(jnp.int32)
+    u = imm.u.reshape(-1)[src_safe]
+    v = imm.v.reshape(-1)[src_safe]
+    idepth = act.idepth.reshape(-1)[src_safe]
+    color = imm.color.reshape(-1, 8)[src_safe]
+    weights = imm.weights.reshape(-1, 8)[src_safe]
+    eth = imm.energy_th.reshape(-1)[src_safe]
+    res_good = act.res_good.reshape(-1, F)[src_safe]
+
+    def put(arr, vals):
+        cur = arr[dst]
+        masked = jnp.where(
+            ok.reshape((-1,) + (1,) * (vals.ndim - 1)), vals, cur
+        )
+        return arr.at[dst].set(masked)
+
+    win = win.replace(
+        pt_status=put(win.pt_status, jnp.full((max_insert,), W.PT_ACTIVE, jnp.int32)),
+        pt_host=put(win.pt_host, host),
+        pt_u=put(win.pt_u, u),
+        pt_v=put(win.pt_v, v),
+        pt_idepth=put(win.pt_idepth, idepth),
+        pt_idepth_zero=put(win.pt_idepth_zero, idepth),
+        pt_color=put(win.pt_color, color),
+        pt_weights=put(win.pt_weights, weights),
+        pt_has_prior=put(win.pt_has_prior, jnp.zeros((max_insert,), bool)),
+        pt_energy_th=put(win.pt_energy_th, eth),
+        pt_num_good_res=put(win.pt_num_good_res, jnp.zeros((max_insert,), jnp.int32)),
+        pt_max_rel_baseline=put(win.pt_max_rel_baseline, jnp.zeros((max_insert,))),
+        pt_idepth_hessian=put(win.pt_idepth_hessian, jnp.zeros((max_insert,))),
+        res_exists=put(win.res_exists, res_good),
+        res_state=put(win.res_state, jnp.full((max_insert, F), W.RES_IN, jnp.int32)),
+        res_linearized=put(win.res_linearized, jnp.zeros((max_insert, F), bool)),
+        res_energy=put(win.res_energy, jnp.zeros((max_insert, F))),
+    )
+
+    # invalidate consumed (actually inserted) + dropped immature slots
+    inserted_flat = jnp.zeros((F * C,), bool).at[src_safe].set(ok)
+    gone = inserted_flat.reshape(F, C) | act.dropped
+    imm = imm.replace(valid=imm.valid & ~gone)
+    n_inserted = jnp.sum(ok)
+    return win, imm, n_inserted

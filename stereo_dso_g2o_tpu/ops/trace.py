@@ -140,7 +140,13 @@ def trace(
     w_f = float(W)
     h_f = float(H)
     max_pix_search = (w_f + h_f) * settings.max_pix_search
-    S = settings.trace_max_steps  # static 100
+    # static step budget: numSteps = 1.9999 + dist/stepsize and dist is
+    # clamped to maxPixSearch, so the reference's errors[100] cap only binds
+    # for very large images (ImmaturePoint.cpp:260,634)
+    S = min(
+        settings.trace_max_steps,
+        int(np.ceil(max_pix_search / settings.trace_stepsize)) + 3,
+    )
 
     f32 = u.dtype
 
