@@ -237,3 +237,84 @@ def nonkey_refine_step(
         win, imm, dI_left0, dI_right0, calib, T_ref_new, aff_new,
         new_exposure, ref_slot, baseline, settings,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels"))
+def tracking_ref_inputs(
+    win: W.Window,
+    dI_new0,  # newest KF level-0 pyramid (H, W, 3)
+    dI_right0,  # its right-eye level-0 pyramid
+    calib_c,
+    baseline,
+    newest_slot,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+):
+    """makeCoarseDepthL0 STEP1 (CoarseTracker.cpp:290-347) as one program:
+    per active point with an IN residual to the newest KF, take its projected
+    center, re-verify inverse depth by L->R / R->L static stereo, and emit
+    the (u, v, idepth, weight, valid) splat inputs."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+    from stereo_dso_g2o_tpu.ops import trace as trace_ops
+
+    Hd, Wd = dI_new0.shape[:2]
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(Wd >> l for l in range(n_levels)),
+        h=tuple(Hd >> l for l in range(n_levels)),
+    )
+    s = settings
+
+    active = win.pt_status == W.PT_ACTIVE
+    res_in = (
+        jnp.take_along_axis(win.res_exists, newest_slot[None, None], axis=1)[:, 0]
+        & (
+            jnp.take_along_axis(win.res_state, newest_slot[None, None], axis=1)[:, 0]
+            == W.RES_IN
+        )
+    )
+    sel = active & res_in
+    center = jnp.take_along_axis(
+        win.res_center, newest_slot[None, None, None], axis=1
+    )[:, 0]  # (NP, 3)
+    us = jnp.round(center[:, 0])
+    vs = jnp.round(center[:, 1])
+    ids = center[:, 2]
+
+    n = us.shape[0]
+    usj = jnp.clip(us, 8.0, Wd - 9.0)
+    vsj = jnp.clip(vs, 8.0, Hd - 9.0)
+    color, weights_p, gradH, eth = trace_ops.extract_point_data(
+        dI_new0, usj, vsj, s
+    )
+    K0 = calib.K(0)
+    res_lr, idepth_stereo = trace_ops.trace_stereo(
+        usj, vsj, ids * 0.1, ids * 1.9, color, weights_p, gradH, eth,
+        jnp.full((n,), 10000.0), jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        K0, baseline, dI_right0, mode_right=True, settings=s,
+    )
+    lr_good = res_lr.status == trace_ops.IPS_GOOD
+    u_r = jnp.clip(res_lr.last_uv[:, 0], 8.0, Wd - 9.0)
+    v_r = jnp.clip(res_lr.last_uv[:, 1], 8.0, Hd - 9.0)
+    color_r, weights_r, gradH_r, eth_r = trace_ops.extract_point_data(
+        dI_right0, u_r, v_r, s
+    )
+    res_rl, _ = trace_ops.trace_stereo(
+        u_r, v_r, ids * 0.1, ids * 1.9, color_r, weights_r, gradH_r, eth_r,
+        jnp.full((n,), 10000.0), jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        K0, baseline, dI_new0, mode_right=False, settings=s,
+    )
+    u_delta = jnp.abs(us - res_rl.last_uv[:, 0])
+    depth = 1.0 / jnp.where(idepth_stereo != 0, idepth_stereo, jnp.inf)
+    stereo_ok = (
+        lr_good
+        & (u_delta < s.stereo_u_delta_max)
+        & (depth > 0)
+        & (depth < s.stereo_depth_max)
+    )
+    new_id = jnp.where(stereo_ok, idepth_stereo, ids)
+
+    hdif = 1.0 / jnp.maximum(win.pt_idepth_hessian, 1e-12)
+    weight = jnp.sqrt(1e-3 / (hdif + 1e-12))
+    return us, vs, new_id, weight, sel

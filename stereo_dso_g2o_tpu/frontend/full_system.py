@@ -570,11 +570,12 @@ class FullSystem:
         if len(self.kf_slots) < 2:
             return flagged
 
-        pt_status = np.asarray(self.win.pt_status)
-        pt_host = np.asarray(self.win.pt_host)
-        imm_valid = np.asarray(self.imm.valid)
-        aff_all = np.asarray(self.win.aff_g2l(), dtype=np.float64)
-        exps = np.asarray(self.win.ab_exposure, dtype=np.float64)
+        pt_status, pt_host, imm_valid, aff_all, exps = jax.device_get(
+            (self.win.pt_status, self.win.pt_host, self.imm.valid,
+             self.win.aff_g2l(), self.win.ab_exposure)
+        )
+        aff_all = np.asarray(aff_all, np.float64)
+        exps = np.asarray(exps, np.float64)
         n_flagged = 0
         n_kfs = len(self.kf_slots)
 
@@ -720,71 +721,20 @@ class FullSystem:
     def _set_tracking_ref(self, newest_slot, dI_stack):
         """setCoarseTrackingRef + makeCoarseDepthL0 STEP1: project window
         points via their residual to the newest KF, re-verify each by L->R /
-        R->L static stereo, splat with inverse-covariance weights."""
+        R->L static stereo, splat with inverse-covariance weights. One fused
+        device program (see frame_step.tracking_ref_inputs)."""
+        from stereo_dso_g2o_tpu.frontend import frame_step as FS
+
         s = self.settings
-        win = self.win
-        active = np.asarray(win.pt_status) == W.PT_ACTIVE
-        res_in = np.asarray(
-            win.res_exists[:, newest_slot]
-            & (win.res_state[:, newest_slot] == W.RES_IN)
+        us, vs, new_id, weight, sel = FS.tracking_ref_inputs(
+            self.win, self.dI_slots[newest_slot][0],
+            self.right_slots[newest_slot], self.calib.c, self.calib.baseline,
+            jnp.asarray(newest_slot), settings=s, n_levels=self.n_levels,
         )
-        sel = active & res_in
-        center = np.asarray(win.res_center)[:, newest_slot]  # (NP, 3)
-        us = np.round(center[:, 0]).astype(np.float32)
-        vs = np.round(center[:, 1]).astype(np.float32)
-        ids = center[:, 2].astype(np.float32)
-
-        dI_new = self.dI_slots[newest_slot][0]
-        dI_right = self.right_slots[newest_slot]
-        n = us.shape[0]
-        usj = jnp.asarray(np.clip(us, 8, self.calib.w[0] - 9))
-        vsj = jnp.asarray(np.clip(vs, 8, self.calib.h[0] - 9))
-        color, weights, gradH, eth = trace_ops.extract_point_data(
-            dI_new, usj, vsj, s
-        )
-        res_lr, idepth_stereo = trace_ops.trace_stereo(
-            usj, vsj, jnp.asarray(ids * 0.1), jnp.asarray(ids * 1.9),
-            color, weights, gradH, eth, jnp.full(n, 10000.0),
-            jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
-            self.calib.K(0), self.calib.baseline, dI_right,
-            mode_right=True, settings=s,
-        )
-        lr_good = np.asarray(res_lr.status) == trace_ops.IPS_GOOD
-        u_r = jnp.asarray(
-            np.clip(np.asarray(res_lr.last_uv)[:, 0], 8, self.calib.w[0] - 9)
-        )
-        v_r = jnp.asarray(
-            np.clip(np.asarray(res_lr.last_uv)[:, 1], 8, self.calib.h[0] - 9)
-        )
-        color_r, weights_r, gradH_r, eth_r = trace_ops.extract_point_data(
-            dI_right, u_r, v_r, s
-        )
-        res_rl, _ = trace_ops.trace_stereo(
-            u_r, v_r, jnp.asarray(ids * 0.1), jnp.asarray(ids * 1.9),
-            color_r, weights_r, gradH_r, eth_r, jnp.full(n, 10000.0),
-            jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
-            self.calib.K(0), self.calib.baseline, dI_new,
-            mode_right=False, settings=s,
-        )
-        u_delta = np.abs(us - np.asarray(res_rl.last_uv)[:, 0])
-        depth = 1.0 / np.where(np.asarray(idepth_stereo) != 0, np.asarray(idepth_stereo), np.inf)
-        stereo_ok = (
-            lr_good
-            & (u_delta < s.stereo_u_delta_max)
-            & (depth > 0)
-            & (depth < s.stereo_depth_max)
-        )
-        new_id = np.where(stereo_ok, np.asarray(idepth_stereo), ids)
-
-        hdif = 1.0 / np.maximum(np.asarray(win.pt_idepth_hessian), 1e-12)
-        weight = np.sqrt(1e-3 / (hdif + 1e-12)).astype(np.float32)
-
         self.tracker.set_reference(
-            self.dI_slots[newest_slot],
-            jnp.asarray(us), jnp.asarray(vs), jnp.asarray(new_id),
-            jnp.asarray(weight), jnp.asarray(sel),
-            ref_aff=self._aff_of_slot(newest_slot),
-            ref_exposure=float(np.asarray(win.ab_exposure)[newest_slot]),
+            self.dI_slots[newest_slot], us, vs, new_id, weight, sel,
+            ref_aff=self.slot_meta[newest_slot][1],
+            ref_exposure=self.slot_meta[newest_slot][0],
             ref_frame_id=self.slot_frame_id[newest_slot],
         )
 
