@@ -957,3 +957,17 @@ def optimize_fused(
     )
     win, energy, nres, _ = jax.lax.fori_loop(0, max_its, body, init)
     return win, energy, nres
+
+
+@jax.jit
+def drop_frame_refs(win: W.Window, slot):
+    """Remove residuals targeting `slot` and drop points hosted there
+    (marginalizeFrame preamble, FullSystemMarginalize.cpp:146-180)."""
+    F = win.F
+    tgt = jnp.arange(F) == slot
+    res_exists = win.res_exists & ~tgt[None, :]
+    hosted = (win.pt_host == slot) & (win.pt_status == W.PT_ACTIVE)
+    return win.replace(
+        res_exists=res_exists & ~hosted[:, None],
+        pt_status=jnp.where(hosted, W.PT_INACTIVE, win.pt_status),
+    )

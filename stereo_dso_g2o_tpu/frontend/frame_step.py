@@ -318,3 +318,40 @@ def tracking_ref_inputs(
     hdif = 1.0 / jnp.maximum(win.pt_idepth_hessian, 1e-12)
     weight = jnp.sqrt(1e-3 / (hdif + 1e-12))
     return us, vs, new_id, weight, sel
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels"))
+def cascade_batch(
+    dIpL,
+    ref,
+    calib_c,
+    baseline,
+    T_inits,  # (K, 4, 4) hypothesis batch
+    aff_init,
+    ref_aff,
+    ref_exposure,
+    new_exposure,
+    min_res_for_abort,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+) -> TrackOut:
+    """All remaining retry-ladder hypotheses in ONE dispatch (vmapped
+    cascade). The reference runs them serially and keeps the best
+    (FullSystem.cpp:441-505); selection happens on the host from the
+    returned batch."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(dIpL[0].shape[1] >> l for l in range(n_levels)),
+        h=tuple(dIpL[0].shape[0] >> l for l in range(n_levels)),
+    )
+
+    def one(T0):
+        return track_cascade(
+            ref, dIpL, calib, T0, aff_init, ref_aff, ref_exposure,
+            new_exposure, min_res_for_abort, settings,
+        )
+
+    return jax.vmap(one)(T_inits)

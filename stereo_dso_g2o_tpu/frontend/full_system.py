@@ -273,33 +273,36 @@ class FullSystem:
         if not (
             best_T is not None
             and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
-        ):
-            # retry ladder: each extra hypothesis is ONE fused cascade call
-            for T_try in tries[1:]:
-                abort = jnp.asarray(
-                    np.where(np.isfinite(achieved), achieved, np.inf), jnp.float32
-                )
-                tr = FS.cascade_step(
-                    dIpL, tuple(self.tracker.ref), self.calib.c,
-                    self.calib.baseline, jnp.asarray(T_try, jnp.float32),
-                    jnp.asarray(aff_last, jnp.float32), self.tracker.ref_aff,
-                    jnp.float32(self.tracker.ref_exposure), jnp.float32(exposure),
-                    abort, settings=s, n_levels=n_lvl,
-                )
-                T2, a2, r2, f2, ok2 = jax.device_get(
-                    (tr.T, tr.aff, tr.residuals, tr.flow, tr.ok)
-                )
-                took = bool(ok2) and np.isfinite(r2[0]) and (
-                    not np.isfinite(achieved[0]) or r2[0] < achieved[0]
+        ) and len(tries) > 1:
+            # retry ladder: ALL remaining hypotheses in one vmapped dispatch
+            abort = jnp.asarray(
+                np.where(np.isfinite(achieved), achieved, np.inf), jnp.float32
+            )
+            trb = FS.cascade_batch(
+                dIpL, tuple(self.tracker.ref), self.calib.c,
+                self.calib.baseline,
+                jnp.asarray(np.stack(tries[1:]), jnp.float32),
+                jnp.asarray(aff_last, jnp.float32), self.tracker.ref_aff,
+                jnp.float32(self.tracker.ref_exposure), jnp.float32(exposure),
+                abort, settings=s, n_levels=n_lvl,
+            )
+            Tb, ab, rb, fb, okb = jax.device_get(
+                (trb.T, trb.aff, trb.residuals, trb.flow, trb.ok)
+            )
+            for k in range(len(tries) - 1):
+                took = bool(okb[k]) and np.isfinite(rb[k, 0]) and (
+                    not np.isfinite(achieved[0]) or rb[k, 0] < achieved[0]
                 )
                 if took:
-                    best_T = np.asarray(T2, np.float64)
-                    best_aff = np.asarray(a2, np.float64)
-                    flow = np.asarray(f2, np.float64)
+                    best_T = np.asarray(Tb[k], np.float64)
+                    best_aff = np.asarray(ab[k], np.float64)
+                    flow = np.asarray(fb[k], np.float64)
                     speculative_ok = False
                 if best_T is not None:
-                    upd = ~np.isfinite(achieved) | (achieved > r2)
-                    achieved = np.where(upd & np.isfinite(r2), r2, achieved)
+                    upd = ~np.isfinite(achieved) | (achieved > rb[k])
+                    achieved = np.where(
+                        upd & np.isfinite(rb[k]), rb[k], achieved
+                    )
                 if (
                     best_T is not None
                     and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
@@ -689,7 +692,9 @@ class FullSystem:
         pu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(jnp.int32)
         pv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(jnp.int32)
         inb = (pu > 0) & (pv > 0) & (pu < w1) & (pv < h1)
-        dmap = DM.distance_map(pu, pv, active & inb, h1, w1)
+        # growth beyond currentMinActDist*my_type (<= 4*4) never changes an
+        # activation decision, so 18 sweeps suffice (reference runs 40)
+        dmap = DM.distance_map(pu, pv, active & inb, h1, w1, iters=18)
         PROF.tick("kf.act.distmap", _t0, dmap); _t0=_t.perf_counter()
 
         cand, delete, iu, iv = IMM.activation_candidates(
@@ -743,16 +748,9 @@ class FullSystem:
         """marginalizeFrame: drop residuals targeting the frame, drop its
         hosted points (already flagged via host_flagged), Schur-eliminate."""
         # residuals targeting the marginalized frame are dropped
-        # (FullSystemMarginalize.cpp:146-198)
-        self.win = self.win.replace(
-            res_exists=self.win.res_exists.at[:, slot].set(False)
-        )
-        # points still hosted there are dropped outright
-        hosted = (self.win.pt_host == slot) & (self.win.pt_status == W.PT_ACTIVE)
-        self.win = self.win.replace(
-            pt_status=jnp.where(hosted, W.PT_INACTIVE, self.win.pt_status),
-            res_exists=self.win.res_exists & ~hosted[:, None],
-        )
+        # (FullSystemMarginalize.cpp:146-198); slot is traced so this
+        # compiles once for all slots
+        self.win = ba.drop_frame_refs(self.win, jnp.asarray(slot))
         self.win = ba.marginalize_frame(
             self.win, jnp.asarray(slot), settings=self.settings
         )
