@@ -355,3 +355,95 @@ def cascade_batch(
         )
 
     return jax.vmap(one)(T_inits)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels", "n_tries"))
+def frame_step_full(
+    left,
+    right,
+    ref,
+    win: W.Window,
+    imm: IMM.ImmatureSet,
+    calib_c,
+    baseline,
+    ref_slot,
+    T_tries,  # (n_tries, 4, 4) pose hypotheses (try 0 first)
+    aff_init,
+    ref_aff,
+    ref_exposure,
+    new_exposure,
+    last_rmse0,  # () previous coarse RMSE (retry threshold input)
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+    n_tries: int = 5,
+):
+    """The COMPLETE non-keyframe step in one program, including the retry
+    ladder: pyramids -> try-0 cascade -> (lax.cond) remaining hypotheses ->
+    best-of selection (trackNewCoarse STEP2-4) -> speculative depth
+    refinement at the selected pose. One small host sync per frame."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(left.shape[1] >> l for l in range(n_levels)),
+        h=tuple(left.shape[0] >> l for l in range(n_levels)),
+    )
+    dIpL, _ = build_pyramid(left, n_levels)
+    dIpR, _ = build_pyramid(right, n_levels)
+
+    abort_inf = jnp.full((n_levels,), jnp.inf, jnp.float32)
+    t0 = track_cascade(
+        ref, dIpL, calib, T_tries[0], aff_init, ref_aff, ref_exposure,
+        new_exposure, abort_inf, settings,
+    )
+    res0 = t0.residuals[0]
+    good0 = t0.ok & jnp.isfinite(res0) & (t0.sat_frac0 <= 0.6)
+    need_ladder = ~(good0 & (res0 < last_rmse0 * settings.re_track_threshold))
+
+    def with_ladder(_):
+        def one(T_init):
+            return track_cascade(
+                ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
+                new_exposure, abort_inf, settings,
+            )
+
+        tb = jax.vmap(one)(T_tries[1:])
+        # best-of selection: first take try0 if good, then any better-ok try
+        resb = tb.residuals[:, 0]
+        okb = tb.ok & jnp.isfinite(resb)
+        best_res = jnp.where(good0, res0, jnp.inf)
+        best_idx = jnp.asarray(-1)  # -1 = keep try 0
+
+        def fold(carry, k):
+            best_res, best_idx = carry
+            better = okb[k] & (resb[k] < best_res)
+            return (
+                jnp.where(better, resb[k], best_res),
+                jnp.where(better, k, best_idx),
+            ), None
+
+        (best_res, best_idx), _ = jax.lax.scan(
+            fold, (best_res, best_idx), jnp.arange(n_tries - 1)
+        )
+        use0 = best_idx < 0
+        k = jnp.maximum(best_idx, 0)
+        return TrackOut(
+            T=jnp.where(use0, t0.T, tb.T[k]),
+            aff=jnp.where(use0, t0.aff, tb.aff[k]),
+            residuals=jnp.where(use0, t0.residuals, tb.residuals[k]),
+            flow=jnp.where(use0, t0.flow, tb.flow[k]),
+            ok=jnp.where(use0, good0, okb[k]),
+            sat_frac0=jnp.where(use0, t0.sat_frac0, tb.sat_frac0[k]),
+        )
+
+    def no_ladder(_):
+        return t0
+
+    track = jax.lax.cond(need_ladder, with_ladder, no_ladder, None)
+
+    imm_out = _nonkey_refine(
+        win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
+        new_exposure, ref_slot, baseline, settings,
+    )
+    return (dIpL, dIpR), imm_out, track, need_ladder

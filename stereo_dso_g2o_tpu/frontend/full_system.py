@@ -242,72 +242,140 @@ class FullSystem:
             aff_last = np.zeros(2)
 
         ref_slot = self.kf_slots[-1]
-        abort_inf = jnp.full(n_lvl, jnp.inf, jnp.float32)
-        (dIpL, dIpR), imm_new, track = FS.frame_step(
-            left_dev, right_dev, tuple(self.tracker.ref), self.win, self.imm,
-            self.calib.c, self.calib.baseline, jnp.asarray(ref_slot),
-            jnp.asarray(tries[0], jnp.float32),
-            jnp.asarray(aff_last, jnp.float32),
-            self.tracker.ref_aff, jnp.float32(self.tracker.ref_exposure),
-            jnp.float32(exposure), abort_inf,
-            settings=s, n_levels=n_lvl, is_kf=False,
-        )
-        # ONE host sync for the whole frame
-        T_np, aff_np, res_np, flow_np, ok_np, sat_np = jax.device_get(
-            (track.T, track.aff, track.residuals, track.flow, track.ok,
-             track.sat_frac0)
-        )
-
-        # try-0 bookkeeping (trackNewCoarse STEP2-4)
-        achieved = np.full(n_lvl, np.nan)
-        best_T = None
-        flow = np.array([100.0, 0.0, 100.0])
-        if bool(ok_np) and np.isfinite(res_np[0]) and float(sat_np) <= 0.6:
-            best_T = np.asarray(T_np, np.float64)
-            best_aff = np.asarray(aff_np, np.float64)
-            flow = np.asarray(flow_np, np.float64)
-            achieved = np.where(np.isfinite(res_np), res_np, np.nan)
-
-        speculative_ok = best_T is not None  # imm_new matches this pose
-
-        if not (
-            best_T is not None
-            and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
-        ) and len(tries) > 1:
-            # retry ladder: ALL remaining hypotheses in one vmapped dispatch
-            abort = jnp.asarray(
-                np.where(np.isfinite(achieved), achieved, np.inf), jnp.float32
-            )
-            trb = FS.cascade_batch(
-                dIpL, tuple(self.tracker.ref), self.calib.c,
-                self.calib.baseline,
-                jnp.asarray(np.stack(tries[1:]), jnp.float32),
+        if len(tries) == 5:
+            # steady state: the WHOLE step (pyramids + try-0 cascade +
+            # in-graph retry ladder + speculative depth refinement at the
+            # selected pose) is one program with one small sync
+            (dIpL, dIpR), imm_new, track, used_ladder = FS.frame_step_full(
+                left_dev, right_dev, tuple(self.tracker.ref), self.win,
+                self.imm, self.calib.c, self.calib.baseline,
+                jnp.asarray(ref_slot),
+                jnp.asarray(np.stack(tries), jnp.float32),
                 jnp.asarray(aff_last, jnp.float32), self.tracker.ref_aff,
                 jnp.float32(self.tracker.ref_exposure), jnp.float32(exposure),
-                abort, settings=s, n_levels=n_lvl,
+                jnp.float32(self.last_coarse_rmse[0])
+                if np.isfinite(self.last_coarse_rmse[0])
+                else jnp.float32(1e30),
+                settings=s, n_levels=n_lvl, n_tries=5,
             )
-            Tb, ab, rb, fb, okb = jax.device_get(
-                (trb.T, trb.aff, trb.residuals, trb.flow, trb.ok)
+            T_np, aff_np, res_np, flow_np, ok_np, sat_np = jax.device_get(
+                (track.T, track.aff, track.residuals, track.flow, track.ok,
+                 track.sat_frac0)
             )
-            for k in range(len(tries) - 1):
-                took = bool(okb[k]) and np.isfinite(rb[k, 0]) and (
-                    not np.isfinite(achieved[0]) or rb[k, 0] < achieved[0]
+            if bool(ok_np) and float(sat_np) <= 0.6 and np.isfinite(res_np[0]):
+                self.last_coarse_rmse = np.where(
+                    np.isfinite(res_np), res_np, self.last_coarse_rmse
+                )
+                if self.tracker.first_coarse_rmse < 0:
+                    self.tracker.first_coarse_rmse = float(res_np[0])
+                return (
+                    (dIpL, dIpR), imm_new,
+                    np.asarray(T_np, np.float64),
+                    np.asarray(aff_np, np.float64),
+                    np.asarray(flow_np, np.float64),
+                    np.asarray(res_np, np.float64),
+                    float(res_np[0]),
+                )
+            # saturated or failed: fall through to the host cascade ladder
+            best_T = None
+            achieved = np.full(n_lvl, np.nan)
+            flow = np.array([100.0, 0.0, 100.0])
+            imm_new = None
+            for T_try in tries:
+                res = self.tracker.track_newest_coarse(
+                    dIpL, T_try, aff_last, n_lvl - 1,
+                    np.where(np.isfinite(achieved), achieved, np.inf),
+                    new_exposure=exposure,
+                )
+                took = res.ok and np.isfinite(res.residuals[0]) and (
+                    not np.isfinite(achieved[0]) or res.residuals[0] < achieved[0]
                 )
                 if took:
-                    best_T = np.asarray(Tb[k], np.float64)
-                    best_aff = np.asarray(ab[k], np.float64)
-                    flow = np.asarray(fb[k], np.float64)
-                    speculative_ok = False
+                    best_T = res.T_ref_new
+                    best_aff = res.aff
+                    flow = res.flow
                 if best_T is not None:
-                    upd = ~np.isfinite(achieved) | (achieved > rb[k])
+                    upd = ~np.isfinite(achieved) | (achieved > res.residuals)
                     achieved = np.where(
-                        upd & np.isfinite(rb[k]), rb[k], achieved
+                        upd & np.isfinite(res.residuals), res.residuals, achieved
                     )
                 if (
                     best_T is not None
                     and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
                 ):
                     break
+        else:
+            # initialization frame: big rotation ladder via the fused cascade
+            abort_inf = jnp.full(n_lvl, jnp.inf, jnp.float32)
+            (dIpL, dIpR), imm_spec, track = FS.frame_step(
+                left_dev, right_dev, tuple(self.tracker.ref), self.win,
+                self.imm, self.calib.c, self.calib.baseline,
+                jnp.asarray(ref_slot), jnp.asarray(tries[0], jnp.float32),
+                jnp.asarray(aff_last, jnp.float32), self.tracker.ref_aff,
+                jnp.float32(self.tracker.ref_exposure), jnp.float32(exposure),
+                abort_inf, settings=s, n_levels=n_lvl, is_kf=False,
+            )
+            T_np, aff_np, res_np, flow_np, ok_np, sat_np = jax.device_get(
+                (track.T, track.aff, track.residuals, track.flow, track.ok,
+                 track.sat_frac0)
+            )
+            achieved = np.full(n_lvl, np.nan)
+            best_T = None
+            flow = np.array([100.0, 0.0, 100.0])
+            imm_new = None
+            if bool(ok_np) and np.isfinite(res_np[0]) and float(sat_np) <= 0.6:
+                best_T = np.asarray(T_np, np.float64)
+                best_aff = np.asarray(aff_np, np.float64)
+                flow = np.asarray(flow_np, np.float64)
+                achieved = np.where(np.isfinite(res_np), res_np, np.nan)
+                imm_new = imm_spec
+            if not (
+                best_T is not None
+                and achieved[0] < self.last_coarse_rmse[0] * s.re_track_threshold
+            ) and len(tries) > 1:
+                for chunk in range(1, len(tries), 8):
+                    sub = tries[chunk : chunk + 8]
+                    while len(sub) < 8:
+                        sub = sub + [np.eye(4)]
+                    abort = jnp.asarray(
+                        np.where(np.isfinite(achieved), achieved, np.inf),
+                        jnp.float32,
+                    )
+                    trb = FS.cascade_batch(
+                        dIpL, tuple(self.tracker.ref), self.calib.c,
+                        self.calib.baseline,
+                        jnp.asarray(np.stack(sub), jnp.float32),
+                        jnp.asarray(aff_last, jnp.float32), self.tracker.ref_aff,
+                        jnp.float32(self.tracker.ref_exposure),
+                        jnp.float32(exposure), abort, settings=s, n_levels=n_lvl,
+                    )
+                    Tb, ab, rb, fb, okb = jax.device_get(
+                        (trb.T, trb.aff, trb.residuals, trb.flow, trb.ok)
+                    )
+                    done = False
+                    for k in range(len(sub)):
+                        took = bool(okb[k]) and np.isfinite(rb[k, 0]) and (
+                            not np.isfinite(achieved[0]) or rb[k, 0] < achieved[0]
+                        )
+                        if took:
+                            best_T = np.asarray(Tb[k], np.float64)
+                            best_aff = np.asarray(ab[k], np.float64)
+                            flow = np.asarray(fb[k], np.float64)
+                            imm_new = None
+                        if best_T is not None:
+                            upd = ~np.isfinite(achieved) | (achieved > rb[k])
+                            achieved = np.where(
+                                upd & np.isfinite(rb[k]), rb[k], achieved
+                            )
+                        if (
+                            best_T is not None
+                            and achieved[0]
+                            < self.last_coarse_rmse[0] * s.re_track_threshold
+                        ):
+                            done = True
+                            break
+                    if done:
+                        break
 
         if best_T is None:
             # take predicted pose and hope (FullSystem.cpp:503-508)
@@ -317,8 +385,11 @@ class FullSystem:
             coarse_rmse0 = np.inf
         else:
             coarse_rmse0 = achieved[0]
-        if not speculative_ok:
-            imm_new = None  # speculative refinement used a wrong pose
+            self.last_coarse_rmse = np.where(
+                np.isfinite(achieved), achieved, self.last_coarse_rmse
+            )
+            if self.tracker.first_coarse_rmse < 0:
+                self.tracker.first_coarse_rmse = coarse_rmse0
 
         if not np.all(np.isfinite(best_T)):
             self.is_lost = True
