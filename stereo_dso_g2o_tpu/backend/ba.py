@@ -599,6 +599,36 @@ def step_converged(win: W.Window, out: SolveOut, settings: Settings, axis_name=N
 # ---------------------------------------------------------------------------
 
 
+def accumulate_priors(win: W.Window, settings: Settings):
+    """The prior-only part of accumulateLF: in this system linearized
+    residuals exist only transiently between point flagging and their
+    marginalization within the same keyframe pass, so during optimize() the
+    L-mode accumulation reduces to the frame/calib priors (the reference
+    notes the same: 'there are no points involved at all here, only a priori
+    information', EnergyFunctional.cpp solveSystemF comment)."""
+    F = win.F
+    D = CPARS + 8 * F
+    dtype = win.state.dtype
+    _, dc, _ = deltas(win)
+    H = jnp.zeros((D, D), dtype)
+    b = jnp.zeros((D,), dtype)
+    prior_f = frame_priors(win, settings)
+    d_prior = win.state
+    H = H.at[jnp.arange(CPARS), jnp.arange(CPARS)].add(
+        settings.initial_calib_hessian
+    )
+    b = b.at[:CPARS].add(settings.initial_calib_hessian * dc)
+    idx = CPARS + jnp.arange(8 * F)
+    H = H.at[idx, idx].add(prior_f.reshape(-1))
+    b = b.at[CPARS:].add((prior_f * d_prior).reshape(-1))
+    NP = win.NP
+    return Accum(
+        H=H, b=b,
+        Hdd=jnp.zeros((NP,), dtype), bd=jnp.zeros((NP,), dtype),
+        Hcd=jnp.zeros((NP, CPARS), dtype), nres=jnp.asarray(0, jnp.int32),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "axis_name"))
 def ba_iteration(
     win: W.Window, dI_stack, iteration, settings: Settings = default_settings(),
@@ -617,10 +647,7 @@ def ba_iteration(
     accA = accumulate_top(
         win, AH, AT, mode0, 0, settings, use_prior=False, axis_name=axis_name
     )
-    accL = accumulate_top(
-        win, AH, AT, active & win.res_linearized, 1, settings, use_prior=True,
-        axis_name=axis_name,
-    )
+    accL = accumulate_priors(win, settings)
     acc = Accum(
         H=accA.H + accL.H,
         b=accA.b + accL.b,

@@ -447,3 +447,47 @@ def frame_step_full(
         new_exposure, ref_slot, baseline, settings,
     )
     return (dIpL, dIpR), imm_out, track, need_ladder
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels"))
+def kf_finalize(
+    win: W.Window,
+    dI_stack,
+    dI_new0,
+    dI_right0,
+    slot,
+    frames_to_marg,
+    prev_slot,
+    calib_c,
+    baseline,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+):
+    """Post-BA keyframe tail as ONE program (makeKeyFrame STEP7-11):
+    re-linearize the newest KF at its optimized pose, final linearization +
+    outlier removal + adaptive energy threshold, tracking-reference inputs,
+    point flagging, and point marginalization into HM/bM."""
+    from stereo_dso_g2o_tpu.backend import ba, builder
+
+    win = builder.set_frame_eval_pt(win, slot)
+    win, energy = ba.linearize_all_final(win, dI_stack, slot, settings=settings)
+    nres_pt = jnp.sum(win.res_exists, axis=1)
+    win = win.replace(
+        pt_status=jnp.where(
+            (win.pt_status == W.PT_ACTIVE) & (nres_pt == 0),
+            W.PT_INACTIVE,
+            win.pt_status,
+        )
+    )
+    ref_inputs = tracking_ref_inputs(
+        win, dI_new0, dI_right0, calib_c, baseline, slot,
+        settings=settings, n_levels=n_levels,
+    )
+    win = ba.flag_points_for_removal(
+        win, dI_stack, frames_to_marg, slot, prev_slot, settings=settings
+    )
+    gone = (win.pt_status == W.PT_MARGINALIZE) | (win.pt_status == W.PT_DROP)
+    win = ba.marginalize_points(win, settings=settings)
+    w2c = win.w2c()
+    aff_all = win.aff_g2l()
+    return win, ref_inputs, gone, w2c, aff_all, energy

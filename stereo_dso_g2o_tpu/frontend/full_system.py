@@ -561,56 +561,37 @@ class FullSystem:
             self.win, energy, nres = ba.optimize_fused(
                 self.win, dI_stack, settings=s, max_its=max_its
             )
-        # re-linearize the newest KF at its optimized pose (:1000-1006)
-        with PROF.section("kf.final_linearize", lambda: self.win):
-            self.win = builder.set_frame_eval_pt(self.win, slot)
-            self.win, _ = ba.linearize_all_final(
-                self.win, dI_stack, jnp.asarray(slot), settings=s
+        # STEPS 7-8 + final linearization: one fused program
+        from stereo_dso_g2o_tpu.frontend import frame_step as FS
+        prev_slot = self.kf_slots[-2] if len(self.kf_slots) >= 2 else -1
+        with PROF.section("kf.finalize", lambda: self.win):
+            self.win, ref_inputs, gone_dev, w2c_dev, aff_dev, _ = FS.kf_finalize(
+                self.win, dI_stack, self.dI_slots[slot][0],
+                self.right_slots[slot], jnp.asarray(slot),
+                jnp.asarray(flagged), jnp.asarray(prev_slot),
+                self.calib.c, self.calib.baseline,
+                settings=s, n_levels=self.n_levels,
             )
-        # remove points with zero remaining residuals (removeOutliers)
-        nres_pt = jnp.sum(self.win.res_exists, axis=1)
-        self.win = self.win.replace(
-            pt_status=jnp.where(
-                (self.win.pt_status == W.PT_ACTIVE) & (nres_pt == 0),
-                W.PT_INACTIVE,
-                self.win.pt_status,
-            )
+        # ONE host fetch for shells + stats
+        gone, w2c, aff_all, pt_host_np = jax.device_get(
+            (gone_dev, w2c_dev, aff_dev, self.win.pt_host)
         )
-
-        # propagate BA poses to keyframe shells
-        w2c = np.asarray(self.win.w2c(), dtype=np.float64)
-        aff_all = np.asarray(self.win.aff_g2l(), dtype=np.float64)
+        w2c = np.asarray(w2c, np.float64)
+        aff_all = np.asarray(aff_all, np.float64)
         for s_ in self.kf_slots:
             kid = self.slot_frame_id[s_]
             self.kf_shells[kid].T_cw = np.linalg.inv(w2c[s_])
             self.kf_shells[kid].aff = aff_all[s_]
             self.slot_meta[s_] = (self.slot_meta[s_][0], aff_all[s_])
+        np.add.at(self.kf_out_count, pt_host_np[np.asarray(gone)], 1)
 
-        # STEP 7: rebuild the tracking reference (makeCoarseDepthL0)
-        with PROF.section("kf.track_ref"):
-            self._set_tracking_ref(slot, dI_stack)
-
-        # STEP 8: flag + marginalize points
-        prev_slot = self.kf_slots[-2] if len(self.kf_slots) >= 2 else -1
-        t_marg0 = __import__("time").perf_counter()
-        self.win = ba.flag_points_for_removal(
-            self.win, dI_stack, jnp.asarray(flagged), jnp.asarray(slot),
-            jnp.asarray(prev_slot), settings=s,
+        us_r, vs_r, id_r, w_r, sel_r = ref_inputs
+        self.tracker.set_reference(
+            self.dI_slots[slot], us_r, vs_r, id_r, w_r, sel_r,
+            ref_aff=aff_all[slot],
+            ref_exposure=self.slot_meta[slot][0],
+            ref_frame_id=self.slot_frame_id[slot],
         )
-        n_gone = int(
-            np.asarray(
-                ((self.win.pt_status == W.PT_MARGINALIZE) | (self.win.pt_status == W.PT_DROP))
-            ).sum()
-        )
-        if n_gone:
-            hosts = np.asarray(self.win.pt_host)
-            gone = np.asarray(
-                (self.win.pt_status == W.PT_MARGINALIZE)
-                | (self.win.pt_status == W.PT_DROP)
-            )
-            np.add.at(self.kf_out_count, hosts[gone], 1)
-        self.win = ba.marginalize_points(self.win, settings=s)
-        PROF.tick("kf.marg_points", t_marg0, self.win)
 
         # STEP 9: seed new immature points on the new KF (makeNewTraces)
         with PROF.section("kf.new_traces", lambda: self.imm):
