@@ -153,6 +153,11 @@ def main(argv):
         if wrapper and fs.history:
             sh = fs.history[-1]
             wrapper.publish_cam_pose(sh.id, fs._shell_T_cw(sh), sh.timestamp)
+        if fs.init_failed and len(fs.kf_shells) <= 4:
+            # full reset, keep playing (main_dso_pangolin.cpp:497-514)
+            print(f"RESETTING at frame {i} (initialization failed)")
+            fs = FullSystem(ds.calib, settings)
+            continue
         if fs.is_lost:
             print("LOST: aborting (reference aborts too, main:516-519)")
             break

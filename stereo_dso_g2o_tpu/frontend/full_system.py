@@ -74,6 +74,8 @@ class FullSystem:
         self.tracker = CoarseTracker(calib, settings)
         self.initialized = False
         self.is_lost = False
+        self.init_failed = False
+        self.log_stream = None  # optional file handle for per-KF stats
 
         self.history: List[FrameShell] = []
         self.slot_meta = {}  # slot -> (exposure, aff np) host cache
@@ -573,9 +575,43 @@ class FullSystem:
                 settings=s, n_levels=self.n_levels,
             )
         # ONE host fetch for shells + stats
-        gone, w2c, aff_all, pt_host_np = jax.device_get(
-            (gone_dev, w2c_dev, aff_dev, self.win.pt_host)
+        gone, w2c, aff_all, pt_host_np, energy_np, nres_np = jax.device_get(
+            (gone_dev, w2c_dev, aff_dev, self.win.pt_host, energy, nres)
         )
+        # initialization-failure check (FullSystem.cpp:1404-1418; rmse as in
+        # statistics_lastFineTrackRMSE, slack factor = 2)
+        rmse = float(np.sqrt(max(energy_np, 0.0) / max(8.0 * nres_np, 1.0)))
+        n_kfs_hist = len(self.kf_shells)
+        slack = 2.0
+        if n_kfs_hist <= 4 and (
+            (n_kfs_hist == 2 and rmse > 20 * slack)
+            or (n_kfs_hist == 3 and rmse > 13 * slack)
+            or (n_kfs_hist == 4 and rmse > 9 * slack)
+        ):
+            self.init_failed = True
+        if not np.isfinite(energy_np):
+            self.is_lost = True
+        if self.log_stream is not None:
+            import json as _json
+
+            self.log_stream.write(
+                _json.dumps(
+                    {
+                        "type": "kf",
+                        "kf_id": self.slot_frame_id[slot],
+                        "frame_id": shell.id,
+                        "rmse": rmse,
+                        "energy": float(energy_np),
+                        "n_res": int(nres_np),
+                        "n_points": int(np.asarray(
+                            (self.win.pt_status == W.PT_ACTIVE)
+                        ).sum()),
+                        "n_kfs": len(self.kf_slots),
+                        "marg_points": int(np.asarray(gone).sum()),
+                    }
+                )
+                + "\n"
+            )
         w2c = np.asarray(w2c, np.float64)
         aff_all = np.asarray(aff_all, np.float64)
         for s_ in self.kf_slots:

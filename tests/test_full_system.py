@@ -89,3 +89,20 @@ def test_trajectory_eval_helpers(tmp_path):
     assert trajectory.ate_rmse(poses, poses) < 1e-9
     t_err, r_err = trajectory.kitti_rel_errors(poses, poses, lengths=(10, 20), step=5)
     assert t_err < 1e-6 and r_err < 1e-6
+
+
+def test_garbage_input_no_crash():
+    """Uncorrelated noise frames: the system must fail gracefully (reset flag
+    or lost or simply no tracking), never crash (reference resets,
+    main_dso_pangolin.cpp:497-514)."""
+    rng = np.random.default_rng(0)
+    K = synthetic.default_K(W_, H_)
+    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_, n_levels=5)
+    fs = FullSystem(calib, SET)
+    for i in range(5):
+        left = rng.uniform(0, 255, (H_, W_)).astype(np.float32)
+        right = rng.uniform(0, 255, (H_, W_)).astype(np.float32)
+        fs.add_frame(left, right, i)
+    # any of these outcomes is acceptable; the invariant is "still standing"
+    assert isinstance(fs.init_failed, bool)
+    assert len(fs.trajectory()) == 5
