@@ -67,7 +67,7 @@ class FullSystem:
         self.calib = calib
         self.settings = settings
         F = settings.window_cap
-        NP = settings.active_cap * 2
+        NP = settings.active_cap + 1024  # slack above the density target
         self.win = W.empty_window(F, NP, np.asarray(calib.c, dtype=np.float32))
         self.imm = IMM.empty(F, settings.immature_cap)
         self.selector = PixelSelector(settings)
