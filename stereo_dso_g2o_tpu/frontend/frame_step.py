@@ -491,3 +491,49 @@ def kf_finalize(
     w2c = win.w2c()
     aff_all = win.aff_g2l()
     return win, ref_inputs, gone, w2c, aff_all, energy
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_levels"))
+def kf_trace_step(
+    win: W.Window,
+    imm: IMM.ImmatureSet,
+    dI_new0,
+    calib_c,
+    baseline,
+    T_new_w2c,
+    aff_new,
+    new_exposure,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+):
+    """makeKeyFrame STEP 1 (traceNewCoarseKey): temporal-trace every
+    keyframe's immature points onto the incoming keyframe, transforms
+    computed in-graph."""
+    from stereo_dso_g2o_tpu.models.camera import Calib
+
+    Hd, Wd = dI_new0.shape[:2]
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(Wd >> l for l in range(n_levels)),
+        h=tuple(Hd >> l for l in range(n_levels)),
+    )
+    w2c = win.w2c()
+    K = calib.K(0)
+    Ki = calib.Ki(0)
+    T_hn = jnp.einsum("ij,fjk->fik", T_new_w2c, jnp.linalg.inv(w2c))
+    R_hn = T_hn[:, :3, :3]
+    t_hn = T_hn[:, :3, 3]
+    KRKi = jnp.einsum("ij,fjk,kl->fil", K, R_hn, Ki)
+    Kt = jnp.einsum("ij,fj->fi", K, t_hn)
+    aff_host = win.aff_g2l()
+    a_rel = (
+        jnp.exp(aff_new[0] - aff_host[:, 0])
+        * new_exposure
+        / jnp.maximum(win.ab_exposure, 1e-9)
+    )
+    b_rel = aff_new[1] - a_rel * aff_host[:, 1]
+    aff_ht = jnp.stack([a_rel, b_rel], axis=-1)
+    return IMM.trace_on_frame(
+        imm, KRKi, Kt, aff_ht, dI_new0, win.frame_valid, settings=settings
+    )

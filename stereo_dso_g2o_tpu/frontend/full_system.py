@@ -107,10 +107,6 @@ class FullSystem:
                 mats.append(jnp.zeros((H0, W0, 3), jnp.float32))
         return jnp.stack(mats)
 
-    def _aff_of_slot(self, slot):
-        return np.asarray(self.win.aff_g2l())[slot]
-
-    # ------------------------------------------------------------------
     def add_frame(self, left, right, frame_id: int, timestamp: float = 0.0,
                   exposure: float = 1.0, exposure_right: float = 1.0):
         """FullSystem::addActiveFrame."""
@@ -218,9 +214,6 @@ class FullSystem:
         )
 
     # ------------------------------------------------------------------
-    def _track_and_deliver(self, dIpL, dIpR, asgL, frame_id, timestamp, exposure):
-        raise NotImplementedError("superseded by the fused frame path")
-
     def _track_frame(self, left_dev, right_dev, frame_id, timestamp, exposure):
         """Fused fast path: ONE device program tracks the frame (and runs the
         non-keyframe depth refinement speculatively); the host syncs once on a
@@ -460,36 +453,6 @@ class FullSystem:
         """worldToCam... naming: returns camToWorld of the keyframe."""
         return self.kf_shells[kf_id].T_cw
 
-    def _host_to_new_mats(self, T_new_w2c):
-        """Per-host KRKi/Kt/R/t/aff to a new (non-window) frame."""
-        F = self.win.F
-        w2c = np.asarray(self.win.w2c(), dtype=np.float64)
-        K = np.asarray(self.calib.K(0), dtype=np.float64)
-        Ki = np.linalg.inv(K)
-        KRKi = np.zeros((F, 3, 3), np.float32)
-        Kt = np.zeros((F, 3), np.float32)
-        Rs = np.zeros((F, 3, 3), np.float32)
-        ts = np.zeros((F, 3), np.float32)
-        for s_ in range(F):
-            T = T_new_w2c @ np.linalg.inv(w2c[s_])
-            KRKi[s_] = (K @ T[:3, :3] @ Ki).astype(np.float32)
-            Kt[s_] = (K @ T[:3, 3]).astype(np.float32)
-            Rs[s_] = T[:3, :3].astype(np.float32)
-            ts[s_] = T[:3, 3].astype(np.float32)
-        return jnp.asarray(KRKi), jnp.asarray(Kt), jnp.asarray(Rs), jnp.asarray(ts)
-
-    def _aff_to_new(self, new_aff, new_exposure):
-        F = self.win.F
-        aff_h = np.asarray(self.win.aff_g2l(), dtype=np.float64)
-        exps = np.asarray(self.win.ab_exposure, dtype=np.float64)
-        out = np.zeros((F, 2), np.float32)
-        for s_ in range(F):
-            a = np.exp(new_aff[0] - aff_h[s_, 0]) * new_exposure / max(exps[s_], 1e-9)
-            b = new_aff[1] - a * aff_h[s_, 1]
-            out[s_] = (a, b)
-        return jnp.asarray(out)
-
-    # ------------------------------------------------------------------
     def _make_non_keyframe(self, dIpL, dIpR, shell, T_ref_new, aff, exposure):
         """makeNonKeyFrame: temporal + stereo depth refinement only (one
         fused device call; transforms computed in-graph)."""
@@ -511,12 +474,14 @@ class FullSystem:
         T_new_w2c = T_ref_new @ np.linalg.inv(ref_T_cw)
 
         # STEP 1: temporal trace of every immature point onto the new KF
+        from stereo_dso_g2o_tpu.frontend import frame_step as FS0
+
         with PROF.section("kf.trace", lambda: self.imm):
-            KRKi, Kt, _, _ = self._host_to_new_mats(T_new_w2c)
-            aff_ht = self._aff_to_new(aff, exposure)
-            self.imm = IMM.trace_on_frame(
-                self.imm, KRKi, Kt, aff_ht, dIpL[0], self.win.frame_valid,
-                settings=self.settings,
+            self.imm = FS0.kf_trace_step(
+                self.win, self.imm, dIpL[0], self.calib.c,
+                self.calib.baseline, jnp.asarray(T_new_w2c, jnp.float32),
+                jnp.asarray(aff, jnp.float32), jnp.float32(exposure),
+                settings=s, n_levels=self.n_levels,
             )
 
         # STEP 2: flag frames for marginalization (host-side policy)
@@ -809,27 +774,6 @@ class FullSystem:
             self.win, self.imm, act, settings=s
         )
         PROF.tick("kf.act.insert", _t0, self.win)
-
-    # ------------------------------------------------------------------
-    def _set_tracking_ref(self, newest_slot, dI_stack):
-        """setCoarseTrackingRef + makeCoarseDepthL0 STEP1: project window
-        points via their residual to the newest KF, re-verify each by L->R /
-        R->L static stereo, splat with inverse-covariance weights. One fused
-        device program (see frame_step.tracking_ref_inputs)."""
-        from stereo_dso_g2o_tpu.frontend import frame_step as FS
-
-        s = self.settings
-        us, vs, new_id, weight, sel = FS.tracking_ref_inputs(
-            self.win, self.dI_slots[newest_slot][0],
-            self.right_slots[newest_slot], self.calib.c, self.calib.baseline,
-            jnp.asarray(newest_slot), settings=s, n_levels=self.n_levels,
-        )
-        self.tracker.set_reference(
-            self.dI_slots[newest_slot], us, vs, new_id, weight, sel,
-            ref_aff=self.slot_meta[newest_slot][1],
-            ref_exposure=self.slot_meta[newest_slot][0],
-            ref_frame_id=self.slot_frame_id[newest_slot],
-        )
 
     # ------------------------------------------------------------------
     def _marginalize_frame(self, slot):
