@@ -52,3 +52,37 @@ def sharded_stereo_match(mesh: Mesh, settings: Settings = default_settings()):
         return res, total_good
 
     return jax.jit(step)
+
+
+class MultiSequenceRunner:
+    """BASELINE config 4: track many sequences in parallel, one per device.
+
+    Each sequence owns a FullSystem whose arrays live on its own device
+    (jax.default_device placement); per-frame programs dispatch asynchronously,
+    so sequences pipeline against each other — the host only serializes the
+    cheap control flow. On a single device this still interleaves compute
+    with host-side bookkeeping of the other sequences.
+    """
+
+    def __init__(self, calibs, settings: Settings = default_settings(),
+                 devices=None):
+        from stereo_dso_g2o_tpu.frontend.full_system import FullSystem
+
+        if devices is None:
+            devices = jax.devices()
+        self.devices = [devices[i % len(devices)] for i in range(len(calibs))]
+        self.systems = []
+        for calib, dev in zip(calibs, self.devices):
+            with jax.default_device(dev):
+                self.systems.append(FullSystem(calib, settings))
+
+    def add_frames(self, frames, frame_id: int, timestamp: float = 0.0):
+        """frames: list of (left, right) per sequence (None to skip one)."""
+        for fs, dev, pair in zip(self.systems, self.devices, frames):
+            if pair is None:
+                continue
+            with jax.default_device(dev):
+                fs.add_frame(pair[0], pair[1], frame_id, timestamp=timestamp)
+
+    def trajectories(self):
+        return [fs.trajectory() for fs in self.systems]

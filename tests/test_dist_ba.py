@@ -58,3 +58,44 @@ def test_distributed_ba_two_devices():
     win_sh, e, conv, nres = step(win_sh, dI_stack, jnp.asarray(0))
     assert np.isfinite(float(e))
     assert int(nres) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_multi_sequence_runner_two_devices():
+    from stereo_dso_g2o_tpu.parallel.multiseq import MultiSequenceRunner
+    from stereo_dso_g2o_tpu.models.camera import make_calib
+    from stereo_dso_g2o_tpu.io import synthetic, trajectory
+    from stereo_dso_g2o_tpu.utils import se3
+    from test_full_system import SET, W_, H_, BASE
+
+    K = synthetic.default_K(W_, H_)
+    calibs = [
+        make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_, n_levels=5)
+        for _ in range(2)
+    ]
+    runner = MultiSequenceRunner(calibs, SET, devices=jax.devices()[:2])
+    scenes = [synthetic.default_scene(s) for s in (31, 32)]
+    gts = [[], []]
+    for i in range(6):
+        frames = []
+        for si, scene in enumerate(scenes):
+            xi = np.array(
+                [0.02 * i * (si + 1), -0.005 * i, 0.03 * i, 0.001 * i, 0.002 * i, 0.0]
+            )
+            T = np.asarray(
+                jax.device_get(se3.se3_exp(jnp.asarray(xi))), dtype=np.float64
+            )
+            gts[si].append(np.linalg.inv(T))
+            frames.append(
+                synthetic.render_stereo_pair(scenes[si], K, W_, H_, BASE, T)[:2]
+            )
+        runner.add_frames(frames, i, timestamp=0.1 * i)
+
+    trajs = runner.trajectories()
+    for si in range(2):
+        ate = trajectory.ate_rmse(trajs[si], gts[si])
+        assert ate < 0.05, (si, ate)
+    # the two systems really live on different devices
+    d0 = next(iter(runner.systems[0].win.pt_u.devices()))
+    d1 = next(iter(runner.systems[1].win.pt_u.devices()))
+    assert d0 != d1
