@@ -708,58 +708,17 @@ class FullSystem:
             np.clip(self.current_min_act_dist, 0.0, 4.0)
         )
 
-        # distance map at level 1 in the newest KF
+        # fused candidate gate (projection + distance map + rules)
         import time as _t
-        _t0=_t.perf_counter()
+        _t0 = _t.perf_counter()
         pre = W.precalc(self.win)
         h1, w1 = self.calib.h[1], self.calib.w[1]
-        K0 = np.asarray(self.calib.K(0), dtype=np.float64)
-        fx1, fy1 = self.calib.fx(1), self.calib.fy(1)
-        K1 = np.asarray(
-            [
-                [float(fx1), 0, float(self.calib.cx(1))],
-                [0, float(fy1), float(self.calib.cy(1))],
-                [0, 0, 1],
-            ]
+        cand_flat, delete = IMM.activation_gate(
+            self.win, self.imm, jnp.asarray(newest_slot),
+            jnp.asarray(self.current_min_act_dist, jnp.float32),
+            self.calib.c, settings=s, h1=h1, w1=w1,
         )
-        w2c = np.asarray(self.win.w2c(), dtype=np.float64)
-        F = self.win.F
-        KRKi1 = np.zeros((F, 3, 3), np.float32)
-        Kt1 = np.zeros((F, 3), np.float32)
-        for s_ in range(F):
-            T = w2c[newest_slot] @ np.linalg.inv(w2c[s_])
-            KRKi1[s_] = (K1 @ T[:3, :3] @ np.linalg.inv(K0)).astype(np.float32)
-            Kt1[s_] = (K1 @ T[:3, 3]).astype(np.float32)
-        KRKi1 = jnp.asarray(KRKi1)
-        Kt1 = jnp.asarray(Kt1)
-
-        # project active points into the newest KF at level 1
-        active = self.win.pt_status == W.PT_ACTIVE
-        P = jnp.stack(
-            [self.win.pt_u, self.win.pt_v, jnp.ones_like(self.win.pt_u)], -1
-        )
-        ptp = (
-            jnp.einsum("nij,nj->ni", KRKi1[self.win.pt_host], P)
-            + Kt1[self.win.pt_host] * self.win.pt_idepth[:, None]
-        )
-        pu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(jnp.int32)
-        pv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(jnp.int32)
-        inb = (pu > 0) & (pv > 0) & (pu < w1) & (pv < h1)
-        # growth beyond currentMinActDist*my_type (<= 4*4) never changes an
-        # activation decision, so 18 sweeps suffice (reference runs 40)
-        dmap = DM.distance_map(pu, pv, active & inb, h1, w1, iters=18)
-        PROF.tick("kf.act.distmap", _t0, dmap); _t0=_t.perf_counter()
-
-        cand, delete, iu, iv = IMM.activation_candidates(
-            self.imm, dmap, KRKi1, Kt1, self.win.frame_valid,
-            jnp.asarray(newest_slot), jnp.asarray(self.current_min_act_dist),
-            settings=s, h1=h1, w1=w1,
-        )
-        # same-cell suppression stands in for greedy map re-insertion
-        cand_flat = DM.suppress_same_cell(
-            iu.reshape(-1), iv.reshape(-1), cand.reshape(-1), cell=2
-        ).reshape(cand.shape)
-        PROF.tick("kf.act.candidates", _t0, cand_flat); _t0=_t.perf_counter()
+        PROF.tick("kf.act.gate", _t0, cand_flat); _t0 = _t.perf_counter()
 
         self.imm = self.imm.replace(valid=self.imm.valid & ~delete)
 

@@ -538,3 +538,71 @@ def insert_activated(
     imm = imm.replace(valid=imm.valid & ~gone)
     n_inserted = jnp.sum(ok)
     return win, imm, n_inserted
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "h1", "w1"))
+def activation_gate(
+    win,
+    imm: ImmatureSet,
+    newest_slot,
+    min_act_dist,
+    calib_c,
+    settings: Settings = default_settings(),
+    *,
+    h1: int,
+    w1: int,
+):
+    """The whole activation candidate gate as one program: project active
+    points into the newest KF at level 1, grow the distance map, apply the
+    candidate rules, and suppress same-cell duplicates
+    (activatePointsMT STEP1-2, FullSystem.cpp:826-903)."""
+    from stereo_dso_g2o_tpu.backend import window as W
+    from stereo_dso_g2o_tpu.ops import distance_map as DM
+
+    F = imm.u.shape[0]
+    fx, fy, cx, cy = calib_c[0], calib_c[1], calib_c[2], calib_c[3]
+    fx1 = fx * 0.5
+    fy1 = fy * 0.5
+    cx1 = (cx + 0.5) * 0.5 - 0.5
+    cy1 = (cy + 0.5) * 0.5 - 0.5
+    zero = jnp.zeros((), calib_c.dtype)
+    one = jnp.ones((), calib_c.dtype)
+    K1 = jnp.stack(
+        [
+            jnp.stack([fx1, zero, cx1]),
+            jnp.stack([zero, fy1, cy1]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+    Ki0 = jnp.stack(
+        [
+            jnp.stack([1.0 / fx, zero, -cx / fx]),
+            jnp.stack([zero, 1.0 / fy, -cy / fy]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+    w2c = win.w2c()
+    T_new = w2c[newest_slot]
+    T_hn = jnp.einsum("ij,fjk->fik", T_new, jnp.linalg.inv(w2c))
+    KRKi1 = jnp.einsum("ij,fjk,kl->fil", K1, T_hn[:, :3, :3], Ki0)
+    Kt1 = jnp.einsum("ij,fj->fi", K1, T_hn[:, :3, 3])
+
+    active = win.pt_status == W.PT_ACTIVE
+    P = jnp.stack([win.pt_u, win.pt_v, jnp.ones_like(win.pt_u)], -1)
+    ptp = (
+        jnp.einsum("nij,nj->ni", KRKi1[win.pt_host], P)
+        + Kt1[win.pt_host] * win.pt_idepth[:, None]
+    )
+    pu = (ptp[:, 0] / ptp[:, 2] + 0.5).astype(jnp.int32)
+    pv = (ptp[:, 1] / ptp[:, 2] + 0.5).astype(jnp.int32)
+    inb = (pu > 0) & (pv > 0) & (pu < w1) & (pv < h1)
+    dmap = DM.distance_map(pu, pv, active & inb, h1, w1, iters=18)
+
+    cand, delete, iu, iv = activation_candidates(
+        imm, dmap, KRKi1, Kt1, win.frame_valid, newest_slot, min_act_dist,
+        settings=settings, h1=h1, w1=w1,
+    )
+    cand_flat = DM.suppress_same_cell(
+        iu.reshape(-1), iv.reshape(-1), cand.reshape(-1), cell=2
+    ).reshape(cand.shape)
+    return cand_flat, delete
