@@ -141,8 +141,8 @@ def frame_step(
         w=tuple(left.shape[1] >> l for l in range(n_levels)),
         h=tuple(left.shape[0] >> l for l in range(n_levels)),
     )
-    dIpL, asgL = build_pyramid(left, n_levels)
-    dIpR, _ = build_pyramid(right, n_levels)
+    dIpL, asgL = build_pyramid(left.astype(jnp.float32), n_levels)
+    dIpR, _ = build_pyramid(right.astype(jnp.float32), n_levels)
 
     track = track_cascade(
         ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
@@ -389,8 +389,8 @@ def frame_step_full(
         w=tuple(left.shape[1] >> l for l in range(n_levels)),
         h=tuple(left.shape[0] >> l for l in range(n_levels)),
     )
-    dIpL, _ = build_pyramid(left, n_levels)
-    dIpR, _ = build_pyramid(right, n_levels)
+    dIpL, _ = build_pyramid(left.astype(jnp.float32), n_levels)
+    dIpR, _ = build_pyramid(right.astype(jnp.float32), n_levels)
 
     abort_inf = jnp.full((n_levels,), jnp.inf, jnp.float32)
     t0 = track_cascade(

@@ -113,13 +113,19 @@ class FullSystem:
         if self.is_lost:
             return
         n_lvl = self.n_levels
-        left_dev = jnp.asarray(left, jnp.float32)
-        right_dev = jnp.asarray(right, jnp.float32)
+        # 8-bit inputs transfer as-is (4x less host->device traffic; matches
+        # the reference's 8-bit image sources) and are cast on device
+        if getattr(left, "dtype", None) == np.uint8:
+            left_dev = jnp.asarray(left)
+            right_dev = jnp.asarray(right)
+        else:
+            left_dev = jnp.asarray(left, jnp.float32)
+            right_dev = jnp.asarray(right, jnp.float32)
 
         if not self.initialized:
             # frame 0: store the stereo pair; first KF is created on frame 1
-            dIpL, asgL = build_pyramid(left_dev, n_lvl)
-            dIpR, _ = build_pyramid(right_dev, n_lvl)
+            dIpL, asgL = build_pyramid(left_dev.astype(jnp.float32), n_lvl)
+            dIpR, _ = build_pyramid(right_dev.astype(jnp.float32), n_lvl)
             self.first_pair = (dIpL, dIpR, asgL, exposure)
             self.history.append(
                 FrameShell(frame_id, timestamp, np.eye(4), -1, np.zeros(2))
