@@ -84,13 +84,25 @@ def block_thresholds(asg0: jax.Array, settings: Settings = default_settings()):
     quant = jnp.where(any_meets, first, 90)
     ths = quant.astype(jnp.float32) + settings.min_grad_hist_add
 
-    # 3x3 box smoothing with edge renormalization (:138-177), then square
-    ones = jnp.ones_like(ths)
-    k = jnp.ones((3, 3), dtype=ths.dtype)
-
+    # 3x3 box smoothing with edge renormalization (:138-177), then square.
+    # Shift-based (no convolution) so it works for arbitrarily small grids.
     def box(x):
-        return jax.scipy.signal.convolve2d(x, k, mode="same")
+        total = jnp.zeros_like(x)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                y = jnp.roll(x, (dy, dx), axis=(0, 1))
+                if dy == 1:
+                    y = y.at[0, :].set(0.0)
+                if dy == -1:
+                    y = y.at[-1, :].set(0.0)
+                if dx == 1:
+                    y = y.at[:, 0].set(0.0)
+                if dx == -1:
+                    y = y.at[:, -1].set(0.0)
+                total = total + y
+        return total
 
+    ones = jnp.ones_like(ths)
     sm = box(ths) / box(ones)
     return sm * sm
 

@@ -133,3 +133,34 @@ def test_photometric_gamma(tmp_path):
     lut = ph.gamma_grad_lut()
     assert lut.shape == (256,)
     np.testing.assert_allclose(np.asarray(lut)[1:-1], 1.0, atol=0.1)
+
+
+def test_cli_end_to_end(kitti_dir, tmp_path):
+    """run_odometry.py main() over a PNG dataset: SLAM + stereomatch modes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_odometry", "/root/repo/run_odometry.py"
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    base, calib, K, b = kitti_dir
+    out = tmp_path / "traj.txt"
+    rc = cli.main([
+        f"files={base}", f"calib={calib}", "preset=2", "quiet=1",
+        f"output={out}", "levels=4",
+    ])
+    assert rc == 0
+    from stereo_dso_g2o_tpu.io import trajectory
+
+    traj = trajectory.read_kitti(str(out))
+    assert len(traj) == 4
+    # motion is +x/+z; composed camToWorld should move in roughly -x/-z
+    assert np.isfinite(traj[-1]).all()
+
+    rc = cli.main([
+        f"files={base}", f"calib={calib}", "stereomatch=1", "maxframes=2",
+        "levels=4",
+    ])
+    assert rc == 0
