@@ -36,6 +36,9 @@ if not _NEEDS_REEXEC:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # NOTE: do not enable the persistent compilation cache here — the
+    # cache-write path intermittently segfaults the XLA CPU compiler in this
+    # jaxlib build (observed under tests/test_long_run.py).
 
 import numpy as np
 import pytest

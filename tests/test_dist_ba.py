@@ -76,7 +76,7 @@ def test_multi_sequence_runner_two_devices():
     runner = MultiSequenceRunner(calibs, SET, devices=jax.devices()[:2])
     scenes = [synthetic.default_scene(s) for s in (31, 32)]
     gts = [[], []]
-    for i in range(6):
+    for i in range(5):
         frames = []
         for si, scene in enumerate(scenes):
             xi = np.array(
