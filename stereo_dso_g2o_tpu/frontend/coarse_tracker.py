@@ -30,11 +30,16 @@ MAX_ITERATIONS = (10, 20, 50, 50, 50, 50)
 
 
 def level_caps(calib: Calib) -> List[int]:
-    """Fixed capacities for the compacted per-level reference point lists."""
+    """Fixed capacities for the compacted per-level reference point lists.
+
+    The level-0 semi-dense map holds ~#active points x (1 + dilation) ~ 4-8K
+    entries at preset-0 densities (makeCoarseDepthL0 splat + 1 dilation pass);
+    capacities sized accordingly — oversizing directly multiplies the
+    tracker's per-iteration warp cost."""
     caps = []
     for lvl in range(calib.n_levels):
         area = calib.w[lvl] * calib.h[lvl]
-        caps.append(int(min(area, max(512, 24576 >> lvl))))
+        caps.append(int(min(area, max(512, 8192 >> max(lvl - 2, 0)))))
     return caps
 
 

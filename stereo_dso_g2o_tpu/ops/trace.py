@@ -103,8 +103,17 @@ def _pattern_energy(dI, px, py, color, aff, huber_th):
 
     dI: (H,W,3); px, py: (..., 8); color: broadcastable (..., 8).
     Returns (...,) energy = sum_p hw*r^2*(2-hw)  (ImmaturePoint.cpp:664-691).
+
+    TPU deviation: the discrete search samples NEAREST-neighbour instead of
+    bilinear — XLA gathers cost ~11ns/element, so this quarters the dominant
+    cost of the temporal trace. The search only picks the best integer step
+    (+-0.5px granularity); the <=3-step GN refinement that follows samples
+    bilinearly and recovers the same sub-pixel optimum.
     """
-    hit = bilinear(dI[..., 0], px, py)
+    H, W = dI.shape[:2]
+    ix = jnp.clip(px + 0.5, 0, W - 1).astype(jnp.int32)
+    iy = jnp.clip(py + 0.5, 0, H - 1).astype(jnp.int32)
+    hit = dI[..., 0][iy, ix]
     r = hit - (aff[0] * color + aff[1])
     ar = jnp.abs(r)
     hw = jnp.where(ar < huber_th, 1.0, huber_th / jnp.maximum(ar, 1e-12))
