@@ -492,7 +492,7 @@ class FullSystem:
 
         # STEP 2: flag frames for marginalization (host-side policy)
         with PROF.section("kf.flag_frames"):
-            flagged = self._flag_frames(aff, exposure)
+            flagged = self._flag_frames()
 
         # STEP 3: insert the new KF into the window
         slot = self._free_slot()
@@ -624,7 +624,7 @@ class FullSystem:
         assert len(free) > 0, "window capacity exceeded"
         return int(free[0])
 
-    def _flag_frames(self, new_aff, new_exposure) -> np.ndarray:
+    def _flag_frames(self) -> np.ndarray:
         """flagFramesForMarginalization (FullSystemMarginalize.cpp:59-145)."""
         s = self.settings
         F = self.win.F
@@ -640,6 +640,10 @@ class FullSystem:
         exps = np.asarray(exps, np.float64)
         n_flagged = 0
         n_kfs = len(self.kf_slots)
+        # affine gap is measured against the newest WINDOW keyframe
+        # (frameHessians.back(), FullSystemMarginalize.cpp:83-88) — flagging
+        # runs before the incoming KF joins the window
+        back = self.kf_slots[-1]
 
         for s_ in self.kf_slots:
             n_in = int(((pt_status == W.PT_ACTIVE) & (pt_host == s_)).sum()) + int(
@@ -647,12 +651,14 @@ class FullSystem:
             )
             n_out = int(self.kf_out_count[s_])
             a_rel = (
-                np.exp(aff_all[s_, 0] - new_aff[0]) * exps[s_] / max(new_exposure, 1e-9)
+                np.exp(aff_all[s_, 0] - aff_all[back, 0])
+                * exps[s_]
+                / max(exps[back], 1e-9)
             )
             if (
                 n_in < s.min_points_remaining * (n_in + n_out)
                 or abs(np.log(max(a_rel, 1e-12))) > s.max_log_aff_fac_in_window
-            ) and (n_kfs + 1 - n_flagged > s.min_frames):
+            ) and (n_kfs - n_flagged > s.min_frames):
                 flagged[s_] = True
                 n_flagged += 1
 

@@ -204,8 +204,13 @@ def optimize_immature(
         axis=-1,
     )  # (N, 8, 3)
 
-    def energy_H_b(idepth, res_oob):
-        """Per-target pattern energy + idepth H/b at given idepth."""
+    def energy_H_b(idepth, res_oob, outlier_slack=1.0):
+        """Per-target pattern energy + idepth H/b at given idepth.
+
+        outlier_slack mirrors linearizeResidual's outlierTHSlack: the
+        reference evaluates the INITIAL energy with slack 1000 (clamp
+        effectively off, FullSystemOptPoint.cpp:74) and slack 1 only inside
+        the GN loop."""
         ptp = (
             jnp.einsum("nfij,npj->nfpi", R, KliP)
             + t[:, :, None, :] * idepth[:, None, None, None]
@@ -252,8 +257,8 @@ def optimize_immature(
         bd_t = jnp.sum(hw2 * r * d_id, axis=-1)
 
         # outlier clamp (legacy linearizeResidual tail)
-        outlier = energy > eth[:, None]  # outlierTHSlack = 1
-        energy = jnp.where(outlier, eth[:, None], energy)
+        outlier = energy > eth[:, None] * outlier_slack
+        energy = jnp.where(outlier, eth[:, None] * outlier_slack, energy)
         state_in = tgt_ok & ~oob & ~outlier
 
         use = tgt_ok & ~oob
@@ -263,7 +268,7 @@ def optimize_immature(
         return E, Hdd, bd, oob, state_in
 
     res_oob0 = jnp.zeros_like(tgt_ok) & False
-    E, Hdd, bd, oob, state_in = energy_H_b(id0, res_oob0)
+    E, Hdd, bd, oob, state_in = energy_H_b(id0, res_oob0, outlier_slack=1000.0)
 
     def lm_body(k, carry):
         idepth, E_best, Hc, bc, lam, oob_c, in_c = carry
@@ -359,7 +364,14 @@ def activation_candidates(
     base = imm.valid & host_valid[:, None] & not_newest
 
     candidate = base & ~bad & can_activate & inb & far_enough
-    delete = base & (bad | (can_activate & ~inb))
+    # non-activatable points whose last trace went OOB are deleted too
+    # (activatePointsMT's cleanup, FullSystem.cpp:858-866) — otherwise dead
+    # slots pile up in the fixed-capacity arrays and displace new seeds
+    delete = base & (
+        bad
+        | (can_activate & ~inb)
+        | (~can_activate & (st == trace_ops.IPS_OOB))
+    )
     return candidate, delete, iu, iv
 
 

@@ -94,8 +94,11 @@ class StereoDataset:
         self.calib = make_calib(
             fx, fy, cx, cy, baseline, self.crop_w, self.crop_h, n_levels
         )
+        # V is sized to the crop dims and applied post-crop (see get());
+        # signature is (w, h) — keep the argument order straight for
+        # non-square sequences like KITTI 1226x370.
         self.photometric = PhotometricUndistorter(
-            gamma_file, vignette_file, self.crop_h, self.crop_w
+            gamma_file, vignette_file, self.crop_w, self.crop_h
         )
 
     @staticmethod
@@ -131,6 +134,10 @@ class StereoDataset:
         if self.undistorter is not None:
             left = np.asarray(self.undistorter.undistort(left))
             right = np.asarray(self.undistorter.undistort(right))
-        left = np.asarray(self.photometric(left))[: self.crop_h, : self.crop_w]
-        right = np.asarray(self.photometric(right))[: self.crop_h, : self.crop_w]
+        left = np.asarray(
+            self.photometric(left[: self.crop_h, : self.crop_w])
+        )
+        right = np.asarray(
+            self.photometric(right[: self.crop_h, : self.crop_w])
+        )
         return left, right, float(self.timestamps[i]), float(self.exposures[i])
