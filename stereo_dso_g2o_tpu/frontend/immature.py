@@ -109,7 +109,7 @@ def clear_slot(imm: ImmatureSet, slot) -> ImmatureSet:
     return imm.replace(valid=imm.valid.at[slot].set(False))
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
+@functools.partial(jax.jit, static_argnames=("settings", "backend"))
 def trace_on_frame(
     imm: ImmatureSet,
     KRKi,  # (F, 3, 3) host -> new-frame for every host slot
@@ -118,20 +118,47 @@ def trace_on_frame(
     dI_new,  # (H, W, 3)
     host_valid,  # (F,) bool
     settings: Settings = default_settings(),
+    backend: str = None,
 ) -> ImmatureSet:
     """traceNewCoarseKey: epipolar-trace every keyframe's immature points onto
-    a new frame (FullSystem.cpp:745-781), vmapped over the host axis."""
+    a new frame (FullSystem.cpp:745-781), all hosts' points in ONE flattened
+    trace_batch call (per-point host transforms)."""
+    if backend is None:
+        backend = trace_ops.default_backend()
+    F, C = imm.u.shape
+    N = F * C
 
-    def one_host(u, v, idmin, idmax, color, weights, gradH, eth, qual, st, K1, t1, a1):
-        res = trace_ops.trace(
-            u, v, idmin, idmax, color, weights, gradH, eth, qual, st,
-            K1, t1, a1, dI_new, settings=settings,
-        )
-        return res
+    def pp(x):  # per-host (F, ...) -> per-point (N, ...)
+        return jnp.broadcast_to(
+            x[:, None], (F, C) + x.shape[1:]
+        ).reshape((N,) + x.shape[1:])
 
-    res = jax.vmap(one_host)(
-        imm.u, imm.v, imm.idepth_min, imm.idepth_max, imm.color, imm.weights,
-        imm.gradH, imm.energy_th, imm.quality, imm.status, KRKi, Kt, aff,
+    flat = trace_ops.trace_batch(
+        imm.u.reshape(N),
+        imm.v.reshape(N),
+        imm.idepth_min.reshape(N),
+        imm.idepth_max.reshape(N),
+        imm.color.reshape(N, 8),
+        imm.weights.reshape(N, 8),
+        imm.gradH.reshape(N, 2, 2),
+        imm.energy_th.reshape(N),
+        imm.quality.reshape(N),
+        imm.status.reshape(N),
+        pp(KRKi),
+        pp(Kt),
+        pp(aff),
+        dI_new,
+        settings=settings,
+        backend=backend,
+    )
+    res = trace_ops.TraceResult(
+        status=flat.status.reshape(F, C),
+        idepth_min=flat.idepth_min.reshape(F, C),
+        idepth_max=flat.idepth_max.reshape(F, C),
+        last_uv=flat.last_uv.reshape(F, C, 2),
+        pixel_interval=flat.pixel_interval.reshape(F, C),
+        quality=flat.quality.reshape(F, C),
+        best_energy=flat.best_energy.reshape(F, C),
     )
     upd = imm.valid & host_valid[:, None]
     return imm.replace(

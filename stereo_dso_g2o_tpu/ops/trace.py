@@ -98,30 +98,34 @@ def extract_point_data(dI0: jax.Array, u: jax.Array, v: jax.Array, settings: Set
     return color, weights, gradH, energy_th
 
 
-def _pattern_energy(dI, px, py, color, aff, huber_th):
-    """Huber pattern energy at sample positions.
+def _pattern_energy(dI, px, py, color, aff_a, aff_b, huber_th):
+    """Bilinear Huber pattern energy at sample positions.
 
-    dI: (H,W,3); px, py: (..., 8); color: broadcastable (..., 8).
-    Returns (...,) energy = sum_p hw*r^2*(2-hw)  (ImmaturePoint.cpp:664-691).
-
-    TPU deviation: the discrete search samples NEAREST-neighbour instead of
-    bilinear — XLA gathers cost ~11ns/element, so this quarters the dominant
-    cost of the temporal trace. The search only picks the best integer step
-    (+-0.5px granularity); the <=3-step GN refinement that follows samples
-    bilinearly and recovers the same sub-pixel optimum.
+    dI: (H,W,3); px, py: (..., 8); color / aff_a / aff_b broadcastable.
+    Returns (...,) energy = sum_p hw*r^2*(2-hw)  (ImmaturePoint.cpp:659-691).
     """
     H, W = dI.shape[:2]
-    ix = jnp.clip(px + 0.5, 0, W - 1).astype(jnp.int32)
-    iy = jnp.clip(py + 0.5, 0, H - 1).astype(jnp.int32)
-    hit = dI[..., 0][iy, ix]
-    r = hit - (aff[0] * color + aff[1])
+    img = dI[..., 0]
+    x = jnp.clip(px, 0.0, W - 1.001)
+    y = jnp.clip(py, 0.0, H - 1.001)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = x - ix
+    fy = y - iy
+    hit = (
+        (1 - fx) * (1 - fy) * img[iy, ix]
+        + fx * (1 - fy) * img[iy, ix + 1]
+        + (1 - fx) * fy * img[iy + 1, ix]
+        + fx * fy * img[iy + 1, ix + 1]
+    )
+    r = hit - (aff_a * color + aff_b)
     ar = jnp.abs(r)
     hw = jnp.where(ar < huber_th, 1.0, huber_th / jnp.maximum(ar, 1e-12))
     return jnp.sum(hw * r * r * (2.0 - hw), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
-def trace(
+@functools.partial(jax.jit, static_argnames=("settings", "backend"))
+def trace_batch(
     u,
     v,
     idepth_min,
@@ -137,13 +141,19 @@ def trace(
     aff,
     dI_target,
     settings: Settings = default_settings(),
+    backend: str = "xla",
 ) -> TraceResult:
     """Trace every point's epipolar interval onto the target image.
 
+    Per-point variant: KRKi (N,3,3), Kt (N,3), aff (N,2) — every point may
+    target the new frame from a different host keyframe. backend="pallas"
+    runs the discrete search + GN refinement in the VMEM slab kernel
+    (ops/trace_pallas.py); "xla" is the reference gather formulation.
+
     u, v: (N,) host pixel coords; idepth_min/max: (N,) interval (max may be
     NaN/inf for fresh points); color/weights: (N,8); gradH: (N,2,2);
-    energy_th, quality: (N,); status: (N,) previous status; KRKi: (3,3);
-    Kt: (3,); aff: (2,) host->target affine brightness; dI_target: (H,W,3).
+    energy_th, quality: (N,); status: (N,) previous status; dI_target:
+    (H,W,3).
     """
     H, W = dI_target.shape[:2]
     w_f = float(W)
@@ -164,15 +174,15 @@ def trace(
 
     # -- STEP 1: project interval endpoints (ImmaturePoint.cpp:489-566) --
     ones = jnp.ones_like(u)
-    pr = jnp.einsum("ij,nj->ni", KRKi, jnp.stack([u, v, ones], -1))  # (N,3)
-    ptp_min = pr + Kt[None, :] * idepth_min[:, None]
+    pr = jnp.einsum("nij,nj->ni", KRKi, jnp.stack([u, v, ones], -1))  # (N,3)
+    ptp_min = pr + Kt * idepth_min[:, None]
     u_min = ptp_min[:, 0] / ptp_min[:, 2]
     v_min = ptp_min[:, 1] / ptp_min[:, 2]
     oob_min = ~inb(u_min, v_min)
 
     finite_max = jnp.isfinite(idepth_max)
     id_max_safe = jnp.where(finite_max, idepth_max, 0.0)
-    ptp_max = pr + Kt[None, :] * id_max_safe[:, None]
+    ptp_max = pr + Kt * id_max_safe[:, None]
     u_max_f = ptp_max[:, 0] / ptp_max[:, 2]
     v_max_f = ptp_max[:, 1] / ptp_max[:, 2]
     oob_max_f = finite_max & ~inb(u_max_f, v_max_f)
@@ -180,7 +190,7 @@ def trace(
     skipped = finite_max & (dist_f < settings.trace_slack_interval)
 
     # infinite-max branch: direction from idepth=0.01 projection (:543-566)
-    ptp_dir = pr + Kt[None, :] * 0.01
+    ptp_dir = pr + Kt * 0.01
     u_dir = ptp_dir[:, 0] / ptp_dir[:, 2]
     v_dir = ptp_dir[:, 1] / ptp_dir[:, 2]
     ddx = u_dir - u_min
@@ -231,87 +241,173 @@ def trace(
 
     # pattern rotated by the in-plane 2x2 of KRKi (:633-645)
     pat = jnp.asarray(PATTERN, dtype=f32)  # (8,2)
-    Rplane = KRKi[:2, :2]
-    rot_pat = pat @ Rplane.T  # (8,2)
+    rot_pat = jnp.einsum("nij,pj->npi", KRKi[:, :2, :2], pat)  # (N,8,2)
 
-    steps = jnp.arange(S, dtype=f32)  # (S,)
-    sx = ptx[:, None] + steps[None, :] * dx[:, None]  # (N,S)
-    sy = pty[:, None] + steps[None, :] * dy[:, None]
-    px = sx[:, :, None] + rot_pat[None, None, :, 0]  # (N,S,8)
-    py = sy[:, :, None] + rot_pat[None, None, :, 1]
-    energies = _pattern_energy(
-        dI_target, px, py, color[:, None, :], aff, settings.huber_th
-    )  # (N,S)
-    step_valid = steps[None, :] < num_steps[:, None].astype(f32)
-    energies = jnp.where(step_valid, energies, jnp.inf)
+    aff_a = aff[:, 0]
+    aff_b = aff[:, 1]
+    n_gn = settings.trace_gn_iterations
 
-    best_idx = jnp.argmin(energies, axis=1)
-    best_energy_search = jnp.min(energies, axis=1)
-    best_u0 = ptx + best_idx.astype(f32) * dx
-    best_v0 = pty + best_idx.astype(f32) * dy
+    if backend == "pallas":
+        from stereo_dso_g2o_tpu.ops import trace_pallas as tk
 
-    # second best outside +-radius (:696-702)
-    radius = settings.min_trace_test_radius
-    idxs = jnp.arange(S)
-    outside = jnp.abs(idxs[None, :] - best_idx[:, None]) > radius
-    second_best = jnp.min(jnp.where(outside, energies, jnp.inf), axis=1)
+        # sanitize masked points so slab origins / positions stay finite
+        pre_masked = (
+            oob_min
+            | oob_max_f
+            | oob_max_i
+            | skipped
+            | oob_scale
+            | badcond
+            | oob_dxdy
+            | (status == IPS_OOB)
+        )
+        safe = lambda x: jnp.where(
+            pre_masked | ~jnp.isfinite(x), 0.0, x
+        )
+        ptx_s = safe(ptx)
+        pty_s = safe(pty)
+        dx_s = safe(dx)
+        dy_s = safe(dy)
+        ns_eff = jnp.where(pre_masked, 0, num_steps)
+
+        img_pad, oy, ox = tk.pad_image_for_search(dI_target[..., 0])
+        Hp, Wp = img_pad.shape
+        y0, x0, ptx_rel, pty_rel = tk.slab_origins(
+            ptx_s, pty_s, dx_s, dy_s, ns_eff, oy, ox, Hp, Wp
+        )
+        scal = jnp.stack(
+            [
+                ptx_rel,
+                pty_rel,
+                dx_s,
+                dy_s,
+                ns_eff.astype(f32),
+                aff_a,
+                aff_b,
+                jnp.zeros_like(ptx_s),
+            ],
+            axis=1,
+        )
+        N = u.shape[0]
+        BLK = 16
+        npad = (-N) % BLK
+
+        def padn(x, fill=0.0):
+            if npad == 0:
+                return x
+            cfg = [(0, npad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, cfg, constant_values=fill)
+
+        out = tk.epipolar_search(
+            img_pad,
+            padn(y0),
+            padn(x0),
+            padn(scal),
+            padn(color),
+            padn(weights),
+            padn(rot_pat[:, :, 0]),
+            padn(rot_pat[:, :, 1]),
+            S=S,
+            BLK=BLK,
+            huber_th=float(settings.huber_th),
+            gn_iters=int(n_gn),
+            gn_threshold=float(settings.trace_gn_threshold),
+            interpret=jax.default_backend() == "cpu",
+        )[:N]
+        best_u = out[:, tk.OUT_BEST_U] - (ox - x0.astype(f32))
+        best_v = out[:, tk.OUT_BEST_V] - (oy - y0.astype(f32))
+        best_energy_search = out[:, tk.OUT_E_SEARCH]
+        second_best = out[:, tk.OUT_SECOND_BEST]
+        best_energy = jnp.where(
+            n_gn > 0, out[:, tk.OUT_E_GN], best_energy_search
+        )
+    else:
+        steps = jnp.arange(S, dtype=f32)  # (S,)
+        sx = ptx[:, None] + steps[None, :] * dx[:, None]  # (N,S)
+        sy = pty[:, None] + steps[None, :] * dy[:, None]
+        px = sx[:, :, None] + rot_pat[:, None, :, 0]  # (N,S,8)
+        py = sy[:, :, None] + rot_pat[:, None, :, 1]
+        energies = _pattern_energy(
+            dI_target,
+            px,
+            py,
+            color[:, None, :],
+            aff_a[:, None, None],
+            aff_b[:, None, None],
+            settings.huber_th,
+        )  # (N,S)
+        step_valid = steps[None, :] < num_steps[:, None].astype(f32)
+        energies = jnp.where(step_valid, energies, jnp.inf)
+
+        best_idx = jnp.argmin(energies, axis=1)
+        best_energy_search = jnp.min(energies, axis=1)
+        best_u0 = ptx + best_idx.astype(f32) * dx
+        best_v0 = pty + best_idx.astype(f32) * dy
+
+        # second best outside +-radius (:696-702)
+        radius = settings.min_trace_test_radius
+        idxs = jnp.arange(S)
+        outside = jnp.abs(idxs[None, :] - best_idx[:, None]) > radius
+        second_best = jnp.min(jnp.where(outside, energies, jnp.inf), axis=1)
+
+        # -- STEP 4: 1-dof GN refinement along the epipolar line (:706-769) --
+        best_energy = jnp.where(
+            n_gn > 0, jnp.full_like(best_energy_search, 1e5), best_energy_search
+        )
+
+        def gn_body(_, carry):
+            best_u, best_v, u_bak, v_bak, step_back, best_e, done = carry
+            qx = best_u[:, None] + rot_pat[:, :, 0]
+            qy = best_v[:, None] + rot_pat[:, :, 1]
+            hit = bilinear(dI_target, qx, qy)  # (N,8,3)
+            r = hit[..., 0] - (aff_a[:, None] * color + aff_b[:, None])
+            d_res = dx[:, None] * hit[..., 1] + dy[:, None] * hit[..., 2]
+            ar = jnp.abs(r)
+            hw = jnp.where(
+                ar < settings.huber_th,
+                1.0,
+                settings.huber_th / jnp.maximum(ar, 1e-12),
+            )
+            Hgn = 1.0 + jnp.sum(hw * d_res * d_res, axis=1)
+            bgn = jnp.sum(hw * r * d_res, axis=1)
+            energy = jnp.sum(weights * weights * hw * r * r * (2.0 - hw), axis=1)
+
+            worse = energy > best_e
+            # worse: halve the step and retreat from the backup point
+            sb_worse = step_back * 0.5
+            u_worse = u_bak + sb_worse * dx
+            v_worse = v_bak + sb_worse * dy
+            # better: take a clamped GN step from here
+            step = jnp.clip(-bgn / Hgn, -0.5, 0.5)
+            step = jnp.where(jnp.isfinite(step), step, 0.0)
+            u_better = best_u + step * dx
+            v_better = best_v + step * dy
+
+            new_u = jnp.where(done, best_u, jnp.where(worse, u_worse, u_better))
+            new_v = jnp.where(done, best_v, jnp.where(worse, v_worse, v_better))
+            new_ubak = jnp.where(done | worse, u_bak, best_u)
+            new_vbak = jnp.where(done | worse, v_bak, best_v)
+            new_sb = jnp.where(done, step_back, jnp.where(worse, sb_worse, step))
+            new_e = jnp.where(done | worse, best_e, energy)
+            new_done = done | (jnp.abs(new_sb) < settings.trace_gn_threshold)
+            return (new_u, new_v, new_ubak, new_vbak, new_sb, new_e, new_done)
+
+        carry = (
+            best_u0,
+            best_v0,
+            best_u0,
+            best_v0,
+            jnp.zeros_like(best_u0),
+            best_energy,
+            jnp.zeros_like(best_u0, dtype=bool),
+        )
+        best_u, best_v, _, _, _, best_energy, _ = jax.lax.fori_loop(
+            0, n_gn, gn_body, carry
+        )
+
     new_quality = second_best / jnp.maximum(best_energy_search, 1e-20)
     quality_out = jnp.where(
         (new_quality < quality) | (num_steps > 10), new_quality, quality
-    )
-
-    # -- STEP 4: 1-dof GN refinement along the epipolar line (:706-769) --
-    n_gn = settings.trace_gn_iterations
-    best_energy = jnp.where(
-        n_gn > 0, jnp.full_like(best_energy_search, 1e5), best_energy_search
-    )
-
-    def gn_body(_, carry):
-        best_u, best_v, u_bak, v_bak, step_back, best_e, done = carry
-        qx = best_u[:, None] + rot_pat[None, :, 0]
-        qy = best_v[:, None] + rot_pat[None, :, 1]
-        hit = bilinear(dI_target, qx, qy)  # (N,8,3)
-        r = hit[..., 0] - (aff[0] * color + aff[1])
-        d_res = dx[:, None] * hit[..., 1] + dy[:, None] * hit[..., 2]
-        ar = jnp.abs(r)
-        hw = jnp.where(
-            ar < settings.huber_th, 1.0, settings.huber_th / jnp.maximum(ar, 1e-12)
-        )
-        Hgn = 1.0 + jnp.sum(hw * d_res * d_res, axis=1)
-        bgn = jnp.sum(hw * r * d_res, axis=1)
-        energy = jnp.sum(weights * weights * hw * r * r * (2.0 - hw), axis=1)
-
-        worse = energy > best_e
-        # worse: halve the step and retreat from the backup point
-        sb_worse = step_back * 0.5
-        u_worse = u_bak + sb_worse * dx
-        v_worse = v_bak + sb_worse * dy
-        # better: take a clamped GN step from here
-        step = jnp.clip(-bgn / Hgn, -0.5, 0.5)
-        step = jnp.where(jnp.isfinite(step), step, 0.0)
-        u_better = best_u + step * dx
-        v_better = best_v + step * dy
-
-        new_u = jnp.where(done, best_u, jnp.where(worse, u_worse, u_better))
-        new_v = jnp.where(done, best_v, jnp.where(worse, v_worse, v_better))
-        new_ubak = jnp.where(done | worse, u_bak, best_u)
-        new_vbak = jnp.where(done | worse, v_bak, best_v)
-        new_sb = jnp.where(done, step_back, jnp.where(worse, sb_worse, step))
-        new_e = jnp.where(done | worse, best_e, energy)
-        new_done = done | (jnp.abs(new_sb) < settings.trace_gn_threshold)
-        return (new_u, new_v, new_ubak, new_vbak, new_sb, new_e, new_done)
-
-    carry = (
-        best_u0,
-        best_v0,
-        best_u0,
-        best_v0,
-        jnp.zeros_like(best_u0),
-        best_energy,
-        jnp.zeros_like(best_u0, dtype=bool),
-    )
-    best_u, best_v, _, _, _, best_energy, _ = jax.lax.fori_loop(
-        0, n_gn, gn_body, carry
     )
 
     # energy-based outlier gate (:774-793)
@@ -324,12 +420,16 @@ def trace(
     e = error_in_pixel
 
     def interval(coord, d, pr_c, kt_c):
-        lo = (pr[:, 2] * (coord - e * d) - pr_c) / (kt_c - Kt[2] * (coord - e * d))
-        hi = (pr[:, 2] * (coord + e * d) - pr_c) / (kt_c - Kt[2] * (coord + e * d))
+        lo = (pr[:, 2] * (coord - e * d) - pr_c) / (
+            kt_c - Kt[:, 2] * (coord - e * d)
+        )
+        hi = (pr[:, 2] * (coord + e * d) - pr_c) / (
+            kt_c - Kt[:, 2] * (coord + e * d)
+        )
         return lo, hi
 
-    lo_u, hi_u = interval(best_u, dx, pr[:, 0], Kt[0])
-    lo_v, hi_v = interval(best_v, dy, pr[:, 1], Kt[1])
+    lo_u, hi_u = interval(best_u, dx, pr[:, 0], Kt[:, 0])
+    lo_v, hi_v = interval(best_v, dy, pr[:, 1], Kt[:, 1])
     id_lo = jnp.where(horiz, lo_u, lo_v)
     id_hi = jnp.where(horiz, hi_u, hi_v)
     id_min_new = jnp.minimum(id_lo, id_hi)
@@ -386,6 +486,54 @@ def trace(
         pixel_interval=pixel_interval,
         quality=quality_out,
         best_energy=best_energy,
+    )
+
+
+def default_backend() -> str:
+    """Pick the search backend for the ambient platform: the VMEM slab
+    kernel on TPU, the XLA gather formulation elsewhere."""
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "backend"))
+def trace(
+    u,
+    v,
+    idepth_min,
+    idepth_max,
+    color,
+    weights,
+    gradH,
+    energy_th,
+    quality,
+    status,
+    KRKi,
+    Kt,
+    aff,
+    dI_target,
+    settings: Settings = default_settings(),
+    backend: str = "xla",
+) -> TraceResult:
+    """Single host->target trace: KRKi (3,3), Kt (3,), aff (2,) shared by all
+    points. Thin wrapper over trace_batch."""
+    N = u.shape[0]
+    return trace_batch(
+        u,
+        v,
+        idepth_min,
+        idepth_max,
+        color,
+        weights,
+        gradH,
+        energy_th,
+        quality,
+        status,
+        jnp.broadcast_to(KRKi, (N, 3, 3)),
+        jnp.broadcast_to(Kt, (N, 3)),
+        jnp.broadcast_to(aff, (N, 2)),
+        dI_target,
+        settings=settings,
+        backend=backend,
     )
 
 

@@ -1,0 +1,449 @@
+"""Pallas TPU kernel for the temporal epipolar search.
+
+The discrete search of ImmaturePoint::traceOn (ImmaturePoint.cpp:610-769) is
+gather-bound in plain XLA: ~N x S x 8 scattered bilinear samples of the target
+image cost ~11 ns/scalar through the gather unit (~68 ms per frame at KITTI
+scale). This kernel restructures the workload TPU-natively:
+
+  1. Per point, one DMA stages a tile-aligned (64 x 256) slab of the target
+     image into VMEM (the slab bounds the whole search segment + pattern halo;
+     (8, 128) start/size alignment is a Mosaic requirement for HBM slices).
+  2. All S x 8 bilinear samples of the search become ONE MXU matmul against
+     on-the-fly "tent" interpolation weights: columns are interpolated by
+     slab[64, Ceff] @ wcT[Ceff, S*8] (bf16, f32 accumulate), rows by an
+     elementwise tent-weighted sublane reduction. No gathers anywhere.
+  3. Per-step Huber pattern energies, the masked argmin, and the
+     second-best-outside-radius statistic are computed in-kernel.
+  4. The <=3-step 1-dof GN refinement along the epipolar line
+     (ImmaturePoint.cpp:706-769) runs in-kernel too, vectorized across the
+     point block, sampling image + central-difference gradients from the same
+     VMEM slabs.
+
+This restores the reference's BILINEAR discrete search (round 1 used
+nearest-neighbour sampling to cut gather cost; that deviation is gone).
+
+The kernel processes points in blocks of BLK per grid step; DMAs for a block
+are issued up front so the copy latency pipelines against the search math.
+Everything is fixed-shape; invalid/OOB points run with num_steps=0 and their
+outputs are discarded by the status machine in ops/trace.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Slab geometry. R x C must bound: max search extent (num_steps <= S-1 px at
+# stepsize 1), the +-3 px rotated-pattern halo, +1 px bilinear support, and
+# the (8, 128) tile alignment of the slab origin. For maxPixSearch at KITTI
+# resolution (0.027*(1216+352) ~ 42 px, S = 46): extent <= 54 px; aligned
+# origins add <= 7 rows / <= 127 lanes -> 64 x 256 always suffices for
+# images up to (w+h) <= 0.027^-1 * (64-10) ~ 2000 px... R/C are validated
+# against S in `epipolar_search`.
+R_SLAB = 64
+C_SLAB = 256
+HALO = 4  # 3 px pattern + 1 px bilinear support
+
+# Packed per-point scalar lanes (input `scal`):
+SCAL_PTX = 0  # search origin x, slab-relative
+SCAL_PTY = 1
+SCAL_DX = 2  # epipolar step (|.| <= stepsize = 1)
+SCAL_DY = 3
+SCAL_NSTEPS = 4  # float(num_steps)
+SCAL_AFF_A = 5
+SCAL_AFF_B = 6
+SCAL_HHALF = 7  # unused / padding
+
+# Output lanes:
+OUT_BEST_U = 0  # slab-relative, post-GN
+OUT_BEST_V = 1
+OUT_E_SEARCH = 2
+OUT_SECOND_BEST = 3
+OUT_E_GN = 4
+OUT_BEST_IDX = 5
+
+_BIG = 1e30
+
+
+def pad_image_for_search(img: jax.Array, dtype=jnp.bfloat16):
+    """Pad an (H, W) intensity image so every slab window is in-bounds.
+
+    Returns (img_pad, oy, ox): pixel (u, v) lives at img_pad[v+oy, u+ox].
+    Margins: left/top must cover the search halo below aligned-down origins;
+    right/bottom must cover origin+slab. Padded dims are (8, 128)-aligned.
+    """
+    H, W = img.shape
+    oy, ox = 8, 128
+    Hp = ((H + oy + R_SLAB + 7) // 8) * 8
+    Wp = ((W + ox + C_SLAB + 127) // 128) * 128
+    img_pad = jnp.zeros((Hp, Wp), dtype).at[oy : oy + H, ox : ox + W].set(
+        img.astype(dtype)
+    )
+    return img_pad, oy, ox
+
+
+def slab_origins(ptx, pty, dx, dy, num_steps, oy, ox, Hp, Wp):
+    """Tile-aligned slab origins (padded-image coords) + slab-relative start.
+
+    ptx/pty: search origin in image coords; the segment spans
+    [pt, pt + num_steps * d] plus the +-HALO pattern/bilinear halo.
+    """
+    ns = num_steps.astype(ptx.dtype)
+    x_lo = jnp.minimum(ptx, ptx + ns * dx) - HALO + ox
+    y_lo = jnp.minimum(pty, pty + ns * dy) - HALO + oy
+    x0 = jnp.clip(
+        (jnp.floor(x_lo).astype(jnp.int32) // 128) * 128, 0, Wp - C_SLAB
+    )
+    y0 = jnp.clip((jnp.floor(y_lo).astype(jnp.int32) // 8) * 8, 0, Hp - R_SLAB)
+    ptx_rel = ptx + ox - x0.astype(ptx.dtype)
+    pty_rel = pty + oy - y0.astype(pty.dtype)
+    return y0, x0, ptx_rel, pty_rel
+
+
+
+def _huber(r, th):
+    ar = jnp.abs(r)
+    return jnp.where(ar < th, 1.0, th / jnp.maximum(ar, 1e-12))
+
+
+def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
+    SP = 8 * S
+
+    def kernel(
+        y0_ref,
+        x0_ref,
+        scal_ref,
+        color_ref,
+        wts_ref,
+        patx_ref,
+        paty_ref,
+        img_ref,
+        out_ref,
+        slabs,
+        gxs,
+        gys,
+        search_out,
+        sems,
+    ):
+        blk = pl.program_id(0)
+
+        def dma(i):
+            pt = blk * BLK + i
+            return pltpu.make_async_copy(
+                img_ref.at[
+                    pl.ds(pl.multiple_of(y0_ref[pt], 8), R_SLAB),
+                    pl.ds(pl.multiple_of(x0_ref[pt], 128), C_SLAB),
+                ],
+                slabs.at[pl.ds(i * R_SLAB, R_SLAB), :],
+                sems.at[i],
+            )
+
+        for i in range(BLK):
+            dma(i).start()
+
+        # static expansion/selection matrices, built from iotas (pallas
+        # kernels cannot capture array constants)
+        E = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, SP), 1) // S
+            == jax.lax.broadcasted_iota(jnp.int32, (8, SP), 0)
+        ).astype(jnp.float32)  # E[p, sp] = (sp // S == p)
+        Sel = (
+            jnp.mod(jax.lax.broadcasted_iota(jnp.int32, (SP, S), 0), S)
+            == jax.lax.broadcasted_iota(jnp.int32, (SP, S), 1)
+        ).astype(jnp.float32)  # Sel[sp, s] = (sp % S == s)
+        # Mosaic iota is integer-only; cast to f32 after
+        s_iota_sp = jnp.mod(
+            jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1), S
+        ).astype(jnp.float32)  # lane sp -> step index (p-major: sp = p*S + s)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (Ceff, SP), 0).astype(
+            jnp.float32
+        )
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R_SLAB, SP), 0).astype(
+            jnp.float32
+        )
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1).astype(
+            jnp.float32
+        )
+
+        def search_one(i, _):
+            dma(i).wait()
+            slab = slabs[pl.ds(i * R_SLAB, R_SLAB), :Ceff]  # (R, Ceff) bf16
+            scal = scal_ref[pl.ds(i, 1), :]  # (1, 8)
+            ptx = scal[:, SCAL_PTX : SCAL_PTX + 1]
+            pty = scal[:, SCAL_PTY : SCAL_PTY + 1]
+            dx = scal[:, SCAL_DX : SCAL_DX + 1]
+            dy = scal[:, SCAL_DY : SCAL_DY + 1]
+            nsteps = scal[:, SCAL_NSTEPS : SCAL_NSTEPS + 1]
+            aff_a = scal[:, SCAL_AFF_A : SCAL_AFF_A + 1]
+            aff_b = scal[:, SCAL_AFF_B : SCAL_AFF_B + 1]
+
+            patx_sp = jnp.dot(
+                patx_ref[pl.ds(i, 1), :],
+                E,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (1, SP)
+            paty_sp = jnp.dot(
+                paty_ref[pl.ds(i, 1), :],
+                E,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            color_sp = jnp.dot(
+                color_ref[pl.ds(i, 1), :],
+                E,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+            sx = ptx + s_iota_sp * dx + patx_sp  # (1, SP)
+            sy = pty + s_iota_sp * dy + paty_sp
+
+            wc = jnp.maximum(0.0, 1.0 - jnp.abs(sx - c_iota)).astype(
+                jnp.bfloat16
+            )  # (Ceff, SP)
+            m1 = jax.lax.dot_general(
+                slab,
+                wc,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (R, SP)
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(sy - r_iota))  # (R, SP)
+            vals = jnp.sum(m1 * wr, axis=0, keepdims=True)  # (1, SP)
+
+            res = vals - (aff_a * color_sp + aff_b)
+            hw = _huber(res, huber_th)
+            en_sp = hw * res * res * (2.0 - hw)
+            e_s = jnp.dot(
+                en_sp,
+                Sel,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+            valid = s_iota < nsteps
+            e_m = jnp.where(valid, e_s, _BIG)
+            be = jnp.min(e_m, axis=1, keepdims=True)  # (1, 1)
+            # argmin via min-of-matching-index (ties -> lowest step, as the
+            # reference's strict < scan does)
+            bidx = jnp.min(
+                jnp.where(e_m <= be, s_iota, _BIG), axis=1, keepdims=True
+            )
+            outside = jnp.abs(s_iota - bidx) > 2.0  # minTraceTestRadius
+            sb = jnp.min(
+                jnp.where(valid & outside, e_s, _BIG), axis=1, keepdims=True
+            )
+
+            row = jnp.concatenate(
+                [
+                    ptx + bidx * dx,
+                    pty + bidx * dy,
+                    be,
+                    sb,
+                    jnp.zeros((1, 1), jnp.float32),
+                    bidx,
+                    dx,
+                    dy,
+                ],
+                axis=1,
+            )  # (1, 8)
+            search_out[pl.ds(i, 1), :] = row
+            return 0
+
+        jax.lax.fori_loop(0, BLK, search_one, 0, unroll=False)
+
+        # central-difference gradient slabs (HessianBlocks.cpp:159-201 conv).
+        # Row shifts cross adjacent point slabs at rows 0/63 only — outside
+        # the sampled halo, so harmless.
+        sl = slabs[:, :Ceff].astype(jnp.float32)  # (BLK*R, Ceff)
+        gxs[:, 1 : Ceff - 1] = 0.5 * (sl[:, 2:] - sl[:, : Ceff - 2])
+        gys[1 : BLK * R_SLAB - 1, :] = 0.5 * (
+            sl[2:, :] - sl[: BLK * R_SLAB - 2, :]
+        )
+        gxs[:, 0:1] = jnp.zeros_like(sl[:, 0:1])
+        gxs[:, Ceff - 1 : Ceff] = jnp.zeros_like(sl[:, 0:1])
+        gys[0:1, :] = jnp.zeros_like(sl[0:1, :])
+        gys[BLK * R_SLAB - 1 :, :] = jnp.zeros_like(sl[0:1, :])
+
+        # -- batched GN refinement across the whole block --
+        so = search_out[:, :]  # (BLK, 8)
+        best_u = so[:, OUT_BEST_U : OUT_BEST_U + 1]  # (BLK, 1)
+        best_v = so[:, OUT_BEST_V : OUT_BEST_V + 1]
+        dxb = so[:, 6:7]
+        dyb = so[:, 7:8]
+        aff_a = scal_ref[:, SCAL_AFF_A : SCAL_AFF_A + 1]
+        aff_b = scal_ref[:, SCAL_AFF_B : SCAL_AFF_B + 1]
+        color = color_ref[:, :]  # (BLK, 8)
+        wts = wts_ref[:, :]
+        patx = patx_ref[:, :]
+        paty = paty_ref[:, :]
+
+        slabs3 = slabs[:, :Ceff].reshape(BLK, R_SLAB, Ceff)
+        gx3 = gxs[:, :].reshape(BLK, R_SLAB, Ceff).astype(jnp.bfloat16)
+        gy3 = gys[:, :].reshape(BLK, R_SLAB, Ceff).astype(jnp.bfloat16)
+        cg_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK, Ceff, 8), 1).astype(
+            jnp.float32
+        )
+        rg_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (BLK, R_SLAB, 8), 1
+        ).astype(jnp.float32)
+
+        def sample8(src3, qx, qy):
+            """Bilinear samples of (BLK, R, Ceff) at (BLK, 8) positions."""
+            wcg = jnp.maximum(0.0, 1.0 - jnp.abs(qx[:, None, :] - cg_iota))
+            mg = jax.lax.dot_general(
+                src3,
+                wcg.astype(jnp.bfloat16),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # (BLK, R, 8)
+            wrg = jnp.maximum(0.0, 1.0 - jnp.abs(qy[:, None, :] - rg_iota))
+            return jnp.sum(mg * wrg, axis=1)  # (BLK, 8)
+
+        if gn_iters > 0:
+            init_e = jnp.full((BLK, 1), 1e5, jnp.float32)
+
+            def gn_body(_, carry):
+                bu, bv, ubak, vbak, step_back, be_c, done = carry
+                qx = bu + patx
+                qy = bv + paty
+                hit = sample8(slabs3, qx, qy)
+                gxv = sample8(gx3, qx, qy)
+                gyv = sample8(gy3, qx, qy)
+                resi = hit - (aff_a * color + aff_b)
+                d_res = dxb * gxv + dyb * gyv
+                hw = _huber(resi, huber_th)
+                Hgn = 1.0 + jnp.sum(hw * d_res * d_res, axis=1, keepdims=True)
+                bgn = jnp.sum(hw * resi * d_res, axis=1, keepdims=True)
+                energy = jnp.sum(
+                    wts * wts * hw * resi * resi * (2.0 - hw),
+                    axis=1,
+                    keepdims=True,
+                )
+                worse = energy > be_c
+                sb_worse = step_back * 0.5
+                u_worse = ubak + sb_worse * dxb
+                v_worse = vbak + sb_worse * dyb
+                step = jnp.clip(-bgn / Hgn, -0.5, 0.5)
+                step = jnp.where(jnp.isfinite(step), step, 0.0)
+                u_better = bu + step * dxb
+                v_better = bv + step * dyb
+                new_u = jnp.where(done, bu, jnp.where(worse, u_worse, u_better))
+                new_v = jnp.where(done, bv, jnp.where(worse, v_worse, v_better))
+                new_ubak = jnp.where(done | worse, ubak, bu)
+                new_vbak = jnp.where(done | worse, vbak, bv)
+                new_sb = jnp.where(
+                    done, step_back, jnp.where(worse, sb_worse, step)
+                )
+                new_e = jnp.where(done | worse, be_c, energy)
+                new_done = done | (jnp.abs(new_sb) < gn_threshold)
+                return (new_u, new_v, new_ubak, new_vbak, new_sb, new_e, new_done)
+
+            carry = (
+                best_u,
+                best_v,
+                best_u,
+                best_v,
+                jnp.zeros((BLK, 1), jnp.float32),
+                init_e,
+                jnp.zeros((BLK, 1), bool),
+            )
+            best_u, best_v, _, _, _, e_gn, _ = jax.lax.fori_loop(
+                0, gn_iters, gn_body, carry, unroll=True
+            )
+        else:
+            e_gn = so[:, OUT_E_SEARCH : OUT_E_SEARCH + 1]
+
+        out_ref[:, :] = jnp.concatenate(
+            [
+                best_u,
+                best_v,
+                so[:, OUT_E_SEARCH : OUT_E_SEARCH + 1],
+                so[:, OUT_SECOND_BEST : OUT_SECOND_BEST + 1],
+                e_gn,
+                so[:, OUT_BEST_IDX : OUT_BEST_IDX + 1],
+                jnp.zeros((BLK, 2), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S",
+        "BLK",
+        "huber_th",
+        "gn_iters",
+        "gn_threshold",
+        "interpret",
+    ),
+)
+def epipolar_search(
+    img_pad,  # (Hp, Wp) bf16, from pad_image_for_search
+    y0,  # (N,) int32 slab row origins (8-aligned, padded coords)
+    x0,  # (N,) int32 slab col origins (128-aligned)
+    scal,  # (N, 8) f32 packed per-point scalars (SCAL_*)
+    color,  # (N, 8) f32 host pattern intensities
+    weights,  # (N, 8) f32 host pattern weights
+    patx,  # (N, 8) f32 rotated pattern x-offsets
+    paty,  # (N, 8) f32 rotated pattern y-offsets
+    *,
+    S: int,
+    BLK: int = 16,
+    huber_th: float = 9.0,
+    gn_iters: int = 3,
+    gn_threshold: float = 0.1,
+    interpret: bool = False,
+):
+    """Run the in-VMEM epipolar search. Returns (N, 8) f32 (OUT_* lanes).
+
+    N must be a multiple of BLK (pad with num_steps=0 rows).
+    """
+    N = y0.shape[0]
+    assert N % BLK == 0, (N, BLK)
+    # the slab must bound the search segment + halo + tile alignment
+    assert S + 2 * HALO + 8 <= R_SLAB, (S, R_SLAB)
+    assert S + 2 * HALO + 128 <= C_SLAB, (S, C_SLAB)
+    Ceff = ((S + 2 * HALO + 128 + 127) // 128) * 128  # cols actually sampled
+
+    kernel = _make_kernel(
+        S, BLK, Ceff, float(huber_th), int(gn_iters), float(gn_threshold)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // BLK,),
+        in_specs=[
+            pl.BlockSpec((BLK, 8), lambda i, y, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 8), lambda i, y, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 8), lambda i, y, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 8), lambda i, y, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK, 8), lambda i, y, x: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (BLK, 8), lambda i, y, x: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLK * R_SLAB, C_SLAB), jnp.bfloat16),
+            pltpu.VMEM((BLK * R_SLAB, Ceff), jnp.float32),
+            pltpu.VMEM((BLK * R_SLAB, Ceff), jnp.float32),
+            pltpu.VMEM((BLK, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((BLK,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, 8), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(y0, x0, scal, color, weights, patx, paty, img_pad)
