@@ -1,36 +1,91 @@
 """Benchmark: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: the FULL stereo direct-SLAM pipeline (BASELINE configs 1-2 analog)
-at KITTI resolution (1216x352 crop, divisible by 2^5) on a rendered synthetic
-stereo sequence — tracking, depth tracing, activation, windowed BA and
-marginalization, exactly the per-frame path a KITTI run executes. The
-reference baseline is its published full-pipeline throughput on KITTI 05
-(~18.9 fps, BASELINE.md).
+Workload: full stereo direct SLAM at KITTI resolution (1216x352) on a
+rendered HOSTILE synthetic sequence — multi-box street scene with occlusion
+boundaries, depth discontinuities, ground plane, side facades, sinusoidal
+exposure variation, and a forward trajectory with yaw (VERDICT r1 item 3) —
+through the fused one-dispatch-per-frame graph pipeline, steady-state window
+churn included (n_keyframes >= 30 over the run).
 
-Runs on whatever JAX platform the ambient environment provides (TPU under
-axon; CPU elsewhere). Warmup frames (jit compilation of every pipeline stage)
-are excluded from timing.
+Metrics:
+- primary: aggregate frames/sec/chip with N_SEQ sequences batched into one
+  vmapped program per frame (BASELINE config 4 — the TPU-native throughput
+  axis; the reference is a single-sequence CPU process at 18.9 fps).
+- single_seq_fps: one sequence, same fused pipeline.
+- ate_rmse_m / kitti_rel_trans_pct / kitti_rel_rot_degpm on the single run.
+- mfu: XLA-reported FLOPs of the fused frame program x achieved frame rate
+  / device peak (f32 on the MXU path; utilization proxy, see PERF.md).
+
+First run renders + compiles (~10-20 min); warm runs reuse .cache/.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+N_SEQ = 4
+N_FRAMES = 200
+BOOT = 12  # host-bootstrap frames per sequence (initialization)
+W_, H_, BASE = 1216, 352, 0.54
+PEAK_F32_FLOPS = 49.2e12  # TPU v5e fp32-accumulate MXU peak (bf16 197/4)
+
+
+def render_sequences():
+    """Render (or load) N_SEQ hostile sequences + GT poses, uint8."""
+    from stereo_dso_g2o_tpu.io import synthetic
+
+    cache = "/root/repo/.cache/bench_frames_v3.npz"
+    K = synthetic.default_K(W_, H_, fov_deg=80.0)
+    if os.path.exists(cache):
+        data = np.load(cache)
+        seqs = []
+        for s in range(N_SEQ):
+            frames = [
+                (data[f"l{s}_{i}"], data[f"r{s}_{i}"])
+                for i in range(N_FRAMES)
+            ]
+            poses = [data[f"p{s}_{i}"] for i in range(N_FRAMES)]
+            seqs.append((frames, poses))
+        return K, seqs
+
+    arrays = {}
+    seqs = []
+    for s in range(N_SEQ):
+        scene = synthetic.box_scene(
+            seed=100 + s, n_boxes=6, depth_range=(12.0, 45.0), lateral=14.0,
+            backdrop_dist=70.0,
+        )
+        poses_cw = synthetic.forward_trajectory(
+            N_FRAMES, step=0.30, yaw_amp=0.10, yaw_period=80.0, seed=s
+        )
+        frames, poses = [], []
+        for i, T in enumerate(poses_cw):
+            expo = 1.0 + 0.12 * np.sin(0.25 * i + s)
+            left, right, _ = synthetic.render_multi_stereo_pair(
+                scene, K, W_, H_, BASE, T, exposure=expo
+            )
+            l8 = np.clip(left, 0, 255).astype(np.uint8)
+            r8 = np.clip(right, 0, 255).astype(np.uint8)
+            frames.append((l8, r8))
+            poses.append(np.linalg.inv(T))
+            arrays[f"l{s}_{i}"] = l8
+            arrays[f"r{s}_{i}"] = r8
+            arrays[f"p{s}_{i}"] = poses[-1]
+        seqs.append((frames, poses))
+    np.savez_compressed(cache, **arrays)
+    return K, seqs
+
 
 def main():
-    import os
-
     os.makedirs("/root/repo/.cache/jax", exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
     import jax
 
-    # f32 einsums/solves: TPU's default bf16 matmul precision measurably
-    # degrades the Hessian assembly and the 68x68 camera-system solve
     jax.config.update("jax_default_matmul_precision", "highest")
-
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -39,10 +94,10 @@ def main():
 
     from stereo_dso_g2o_tpu.config import Settings
     from stereo_dso_g2o_tpu.frontend.full_system import FullSystem
-    from stereo_dso_g2o_tpu.io import synthetic, trajectory
+    from stereo_dso_g2o_tpu.frontend.graph_system import GraphSystem
+    from stereo_dso_g2o_tpu.io import trajectory
     from stereo_dso_g2o_tpu.models.camera import make_calib
-    from stereo_dso_g2o_tpu.utils import se3
-    import jax.numpy as jnp
+    from stereo_dso_g2o_tpu.parallel.batched import BatchedRunner
 
     settings = Settings(
         desired_point_density=2000.0,
@@ -50,81 +105,94 @@ def main():
         immature_cap=2048,
         active_cap=2048,
     )
-    w, h, b = 1216, 352, 0.54
-    K = synthetic.default_K(w, h, fov_deg=80.0)
-    # realistic KITTI-like depths: disparity must stay inside the reference's
-    # maxPixSearch cap (0.027*(w+h) ~ 42px), i.e. depth >~ 10m for this rig
-    rng_scene = np.random.default_rng(0)
-    scene = synthetic.PlaneScene(
-        normal=np.array([0.15, -0.1, -1.0]),
-        dist=-18.0,
-        tex=synthetic.smooth_texture(rng_scene),
-        tex_scale=6.0,
-    )
+    K, seqs = render_sequences()
+    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_,
+                       n_levels=6)
 
-    n_frames = 22
-    cache = "/root/repo/.cache/bench_frames_v2.npz"
-    frames = []
-    poses = []
-    if os.path.exists(cache):
-        data = np.load(cache)
-        for i in range(n_frames):
-            poses.append(data[f"p{i}"])
-            frames.append((data[f"l{i}"], data[f"r{i}"]))
-    else:
-        arrays = {}
-        for i in range(n_frames):
-            xi = np.array(
-                [0.03 * i, -0.01 * i, 0.05 * i, 0.0015 * i, 0.003 * i, -0.0008 * i]
-            )
-            T = np.asarray(se3.se3_exp(jnp.asarray(xi)), dtype=np.float64)
-            poses.append(np.linalg.inv(T))
-            left, right, _ = synthetic.render_stereo_pair(scene, K, w, h, b, T)
-            frames.append((left, right))
-            arrays[f"p{i}"] = poses[-1]
-            arrays[f"l{i}"] = left
-            arrays[f"r{i}"] = right
-        np.savez(cache, **arrays)
+    def bootstrap(frames):
+        fs = FullSystem(calib, settings)
+        for i in range(BOOT):
+            fs.add_frame(frames[i][0], frames[i][1], i, timestamp=0.1 * i)
+        return GraphSystem.from_full_system(fs)
 
-    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], b, w, h, n_levels=6)
-    fs = FullSystem(calib, settings)
-
-    # warmup: run enough frames to compile every stage (init, KF, non-KF)
-    warm = 11
-    for i in range(warm):
-        fs.add_frame(
-            np.clip(frames[i][0], 0, 255).astype(np.uint8),
-            np.clip(frames[i][1], 0, 255).astype(np.uint8),
-            i, timestamp=0.1 * i,
-        )
-
-    # 8-bit transfer path (reference inputs are 8-bit PNGs)
-    frames8 = [
-        (np.clip(l, 0, 255).astype(np.uint8), np.clip(r, 0, 255).astype(np.uint8))
-        for (l, r) in frames
-    ]
+    # ---- single-sequence run (accuracy + single-seq fps) ----
+    frames0, poses0 = seqs[0]
+    gs = bootstrap(frames0)
+    warm_until = BOOT + 8  # compile both cond branches before timing
+    for i in range(BOOT, warm_until):
+        gs.add_frame(frames0[i][0], frames0[i][1], i, timestamp=0.1 * i)
     t0 = time.perf_counter()
-    for i in range(warm, n_frames):
-        fs.add_frame(frames8[i][0], frames8[i][1], i, timestamp=0.1 * i)
-    dt = (time.perf_counter() - t0) / (n_frames - warm)
+    for i in range(warm_until, N_FRAMES):
+        gs.add_frame(frames0[i][0], frames0[i][1], i, timestamp=0.1 * i)
+    dt_single = (time.perf_counter() - t0) / (N_FRAMES - warm_until)
+    single_fps = 1.0 / dt_single
 
-    traj = fs.trajectory()
-    ate = trajectory.ate_rmse(traj, poses)
-
-    fps = 1.0 / dt
-    baseline_fps = 18.9  # reference KITTI 05 full pipeline (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "full_slam_fps_kitti_res_synthetic",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline_fps, 3),
-                "ate_rmse_m": round(float(ate), 4),
-                "n_keyframes": len(fs.kf_shells),
-            }
-        )
+    traj = gs.trajectory()
+    ate = trajectory.ate_rmse(traj, poses0)
+    rel_t, rel_r = trajectory.kitti_rel_errors(
+        traj, poses0, lengths=(10, 20, 30, 40), step=5
     )
+    n_kfs = len(gs.kf_shells)
+
+    # ---- FLOPs of the fused frame program (for the MFU proxy) ----
+    mfu = None
+    try:
+        import jax.numpy as jnp
+
+        from stereo_dso_g2o_tpu.frontend.graph_system import frame_auto
+
+        tries, aff_last, _ = gs._tries()
+        lowered = frame_auto.lower(
+            gs.state, jnp.zeros((H_, W_), jnp.uint8),
+            jnp.zeros((H_, W_), jnp.uint8),
+            calib.c, calib.baseline,
+            jnp.asarray(tries, jnp.float32),
+            jnp.asarray(aff_last, jnp.float32), jnp.float32(1.0),
+            settings=settings, n_levels=6, n_tries=5, pot=gs.pot,
+            caps=gs.caps, w0=W_, h0=H_, imm_cap=settings.immature_cap,
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_frame = float(cost.get("flops", 0.0))
+        mfu = flops_frame * single_fps / PEAK_F32_FLOPS
+    except Exception:
+        pass
+
+    # ---- batched N_SEQ aggregate throughput ----
+    systems = [gs if s == 0 else bootstrap(seqs[s][0]) for s in range(N_SEQ)]
+    # re-bootstrap sequence 0 so all sequences are in comparable early state
+    systems[0] = bootstrap(frames0)
+    runner = BatchedRunner(systems)
+    warm_until_b = BOOT + 8
+    for i in range(BOOT, warm_until_b):
+        runner.add_frames([seqs[s][0][i] for s in range(N_SEQ)], i,
+                          timestamp=0.1 * i)
+    n_timed_b = min(N_FRAMES, BOOT + 108) - warm_until_b
+    t0 = time.perf_counter()
+    for i in range(warm_until_b, warm_until_b + n_timed_b):
+        runner.add_frames([seqs[s][0][i] for s in range(N_SEQ)], i,
+                          timestamp=0.1 * i)
+    dt_b = time.perf_counter() - t0
+    agg_fps = N_SEQ * n_timed_b / dt_b
+
+    baseline_fps = 18.9  # reference KITTI 05 full pipeline (BASELINE.md)
+    out = {
+        "metric": "full_slam_agg_fps_kitti_res_hostile_synthetic",
+        "value": round(agg_fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(agg_fps / baseline_fps, 3),
+        "single_seq_fps": round(single_fps, 2),
+        "n_seq_batched": N_SEQ,
+        "ate_rmse_m": round(float(ate), 4),
+        "kitti_rel_trans_pct": round(rel_t, 3),
+        "kitti_rel_rot_degpm": round(rel_r, 5),
+        "n_keyframes": n_kfs,
+        "n_frames": N_FRAMES,
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

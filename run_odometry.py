@@ -143,9 +143,22 @@ def main(argv):
     settings = apply_preset(int(args.get("preset", 0)))
     fs = FullSystem(ds.calib, settings)
     wrapper = SampleOutputWrapper() if not quiet else None
+    feed_fh = None
+    if "feed" in args:
+        from stereo_dso_g2o_tpu.io.output_wrapper import JsonlOutputWrapper
+
+        feed_fh = open(args["feed"], "w")
+        wrapper = JsonlOutputWrapper(feed_fh)
+    viz = args.get("viz")
+    accum = None
+    if viz or feed_fh:
+        from stereo_dso_g2o_tpu.io.viewer import CloudAccumulator
+
+        accum = CloudAccumulator()
 
     t0 = time.perf_counter()
     n_done = 0
+    n_kfs_seen = 0
     for i in range(start, n):
         left, right, ts, exp = ds.get(i)
         fs.add_frame(left, right, i, timestamp=ts, exposure=exp)
@@ -153,6 +166,15 @@ def main(argv):
         if wrapper and fs.history:
             sh = fs.history[-1]
             wrapper.publish_cam_pose(sh.id, fs._shell_T_cw(sh), sh.timestamp)
+        if accum is not None and len(fs.kf_shells) > n_kfs_seen:
+            n_kfs_seen = len(fs.kf_shells)
+            accum.update_from(fs)
+            if wrapper:
+                wrapper.publish_keyframes(
+                    [(k, sh.T_cw) for k, sh in enumerate(fs.kf_shells)
+                     if sh.T_cw is not None],
+                    fs.point_cloud(),
+                )
         if fs.init_failed and len(fs.kf_shells) <= 4:
             # full reset, keep playing (main_dso_pangolin.cpp:497-514)
             print(f"RESETTING at frame {i} (initialization failed)")
@@ -170,6 +192,15 @@ def main(argv):
         f"({n_done / max(dt, 1e-9):.2f} fps, {1000 * dt / max(n_done, 1):.1f} ms/frame)"
     )
     print(f"trajectory written to {out} ({len(fs.kf_shells)} keyframes)")
+    if feed_fh:
+        feed_fh.close()
+        print(f"viewer feed written to {args['feed']}")
+    if viz:
+        from stereo_dso_g2o_tpu.io.viewer import render_run
+
+        xyz, idp = accum.cloud()
+        render_run(viz, fs.trajectory(), xyz, idp)
+        print(f"visualization written to {viz} ({len(xyz)} points)")
     return 0
 
 

@@ -207,37 +207,27 @@ def accumulate_top(
     Jpdd = win.J_pdd
 
     JI_r = jnp.einsum("nfp,nfkp->nfk", resA, JIdx)  # (NP, F, 2)
-    Jab_r = jnp.einsum("nfp,nfkp->nfk", resA, JabF)
-    rr = jnp.sum(resA * resA, -1)  # (NP, F)
     JIdx2 = jnp.einsum("nfip,nfjp->nfij", JIdx, JIdx)  # (NP, F, 2, 2)
-    JabJIdx = jnp.einsum("nfip,nfjp->nfij", JabF, JIdx)
-    Jab2 = jnp.einsum("nfip,nfjp->nfij", JabF, JabF)
 
     # G: 2 x 10 = [Jpdc, Jpdxi]
     G = jnp.concatenate([Jpdc, Jpdxi], axis=-1)  # (NP, F, 2, 10)
 
-    # per-residual 13x13 [c4, p8(pose6+ab2) ... order [c, pose] in G; block
-    # layout mirrors MatPCPC: rows/cols = (c(4), pose(6), ab(2), r(1)) with
-    # G supplying the first 10.
-    H10 = jnp.einsum("nfia,nfij,nfjb->nfab", G, JIdx2, G)  # (NP, F, 10, 10)
-    H10_ab = jnp.einsum("nfia,nfji->nfaj", G, JabJIdx)  # (NP, F, 10, 2)
-    H10_r = jnp.einsum("nfia,nfi->nfa", G, JI_r)  # (NP, F, 10)
+    # Per-residual 13x13 = sum over pattern pixels of v v^T with
+    # v = [G^T JIdx[:, p] (10), JabF[:, p] (2), resA[p] (1)] — the MatPCPC
+    # layout rows/cols (c(4), pose(6), ab(2), r(1)). Building V and letting
+    # ONE one-hot-host contraction produce the per-(host, target) pair sums
+    # keeps the whole accumulation on the MXU; the previous formulation
+    # scatter-added an (NP, F, 13, 13) buffer (slow, HBM-bound on TPU).
+    u10 = jnp.einsum("nfip,nfia->nfpa", JIdx, G)  # (NP, F, 8, 10)
+    V = jnp.concatenate(
+        [u10, jnp.swapaxes(JabF, -1, -2), resA[..., None]], axis=-1
+    )  # (NP, F, 8, 13)
 
-    acc = jnp.zeros(resA.shape[:2] + (13, 13), dtype)
-    acc = acc.at[..., :10, :10].set(H10)
-    acc = acc.at[..., :10, 10:12].set(H10_ab)
-    acc = acc.at[..., 10:12, :10].set(jnp.swapaxes(H10_ab, -1, -2))
-    acc = acc.at[..., 10:12, 10:12].set(Jab2)
-    acc = acc.at[..., :10, 12].set(H10_r)
-    acc = acc.at[..., 12, :10].set(H10_r)
-    acc = acc.at[..., 10:12, 12].set(Jab_r)
-    acc = acc.at[..., 12, 10:12].set(Jab_r)
-    acc = acc.at[..., 12, 12].set(rr)
-    acc = acc * m[..., None, None]
-
-    # segment-sum into per-(host, target) pair blocks
-    pair = jnp.zeros((F, F, 13, 13), dtype)
-    pair = pair.at[win.pt_host].add(acc)  # sums over points; target is axis 1
+    onehot = (
+        win.pt_host[:, None] == jnp.arange(F, dtype=win.pt_host.dtype)[None, :]
+    ).astype(dtype)  # (NP, F_host)
+    Vm = V * m[..., None, None]
+    pair = jnp.einsum("nh,nfpa,nfpb->hfab", onehot, Vm, V)  # (F, F, 13, 13)
 
     # reorder 13x13 from [c, pose, ab, r] into [c(0:4), p(4:12), r(12)]:
     # G was [Jpdc(4), Jpdxi(6)] so indices 0:4=c, 4:10=pose, 10:12=ab, 12=r —
@@ -380,19 +370,20 @@ def accumulate_sc(
     Hout = Hout.at[:CPARS, :CPARS].set(Hcc)
     bout = bout.at[:CPARS].set(bcc)
 
-    # accD[h, t1, t2] = sum over points hosted at h of JpJd_t1 JpJd_t2^T HdiF
-    Dacc = jnp.zeros((F, F, F, 8, 8), dtype)
-    contrib = jnp.einsum("nti,nsj,n->ntsij", JpJdF, JpJdF, HdiF)
-    Dacc = Dacc.at[win.pt_host].add(contrib)
+    # accD[h, t1, t2] = sum over points hosted at h of JpJd_t1 JpJd_t2^T HdiF.
+    # One one-hot-host MXU contraction of the flattened (F*8) target axis —
+    # the previous formulation materialized and scatter-added an
+    # (NP, F, F, 8, 8) buffer (~33 MB/iteration of HBM traffic).
+    onehot = (
+        win.pt_host[:, None] == jnp.arange(F, dtype=win.pt_host.dtype)[None, :]
+    ).astype(dtype)  # (NP, F_host)
+    X = JpJdF.reshape(JpJdF.shape[0], F * 8)  # (NP, F*8)
+    Xw = X * (HdiF[:, None])
+    Dflat = jnp.einsum("nh,na,nb->hab", onehot, Xw, X)  # (F, F*8, F*8)
+    Dacc = Dflat.reshape(F, F, 8, F, 8).transpose(0, 1, 3, 2, 4)
     # accE[h, t] = sum JpJd_t Hcd^T HdiF ; accEB[h, t] = JpJd_t HdiF bdSum
-    Eacc = jnp.zeros((F, F, 8, CPARS), dtype)
-    Eacc = Eacc.at[win.pt_host].add(
-        jnp.einsum("nti,nj,n->ntij", JpJdF, Hcd, HdiF)
-    )
-    EBacc = jnp.zeros((F, F, 8), dtype)
-    EBacc = EBacc.at[win.pt_host].add(
-        jnp.einsum("nti,n->nti", JpJdF, HdiF * bdSum)
-    )
+    Eacc = jnp.einsum("nh,nti,nj,n->htij", onehot, JpJdF, Hcd, HdiF)
+    EBacc = jnp.einsum("nh,nti,n->hti", onehot, JpJdF, HdiF * bdSum)
 
     # stitch (AccumulatedSCHessian.cpp:196-257); i=host, j/k=targets
     Hfc = jnp.einsum("ijab,ijbc->iac", AH, Eacc) + jnp.einsum(
@@ -950,6 +941,27 @@ def marginalize_frame(
         prior=win.prior.at[slot].set(0.0),
     )
     return win
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def marginalize_frames_masked(
+    win: W.Window, flagged, settings: Settings = default_settings()
+):
+    """All flagged-frame marginalizations (drop refs + Schur-eliminate) as
+    ONE program. flagged: (F,) bool. Replaces the host loop of per-slot
+    dispatches — at ~25 ms tunnel latency each, 2 flagged frames cost 4-6
+    round trips; this costs one."""
+    F = win.F
+
+    def body(s_, w):
+        w_m = marginalize_frame(
+            drop_frame_refs(w, s_), s_, settings=settings
+        )
+        return jax.tree.map(
+            lambda a, b: jnp.where(flagged[s_], b, a), w, w_m
+        )
+
+    return jax.lax.fori_loop(0, F, body, win, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "max_its"))

@@ -143,6 +143,13 @@ class Settings:
     # -- TPU capacities (new: fixed-size SoA arrays replace dynamic sets) --
     immature_cap: int = 2048  # immature points per keyframe
     active_cap: int = 2048  # active (PointHessian) points per keyframe
+    # candidates optimized per activation pass: bounds the 1-dof LM batch
+    # (gated candidates rarely exceed the per-KF activation need; overflow
+    # simply stays immature until the next keyframe)
+    activation_batch: int = 2048
+    # per-KF eigenvalue/Hessian-diag/nullspace dump into the stats stream
+    # (setting_logStuff's printEigenValLine, FullSystem.cpp:1689-1768)
+    log_eigenvalues: bool = False
     window_cap: int = 8  # keyframe window capacity (max_frames + 1 slack)
 
     # -- numerics --

@@ -534,6 +534,14 @@ class FullSystem:
             self.win, energy, nres = ba.optimize_fused(
                 self.win, dI_stack, settings=s, max_its=max_its
             )
+        if s.log_eigenvalues and self.log_stream is not None:
+            import json as _json
+
+            from stereo_dso_g2o_tpu.runtime.diagnostics import eigenvalue_record
+
+            rec = eigenvalue_record(self.win, settings=s)
+            rec["kf_id"] = kf_id
+            self.log_stream.write(_json.dumps(rec) + "\n")
         # STEPS 7-8 + final linearization: one fused program
         from stereo_dso_g2o_tpu.frontend import frame_step as FS
         prev_slot = self.kf_slots[-2] if len(self.kf_slots) >= 2 else -1
@@ -611,11 +619,19 @@ class FullSystem:
                 self.imm, slot, dIpL[0], us, vs, types, valid, settings=s
             )
 
-        # STEP 10: marginalize flagged frames
+        # STEP 10: marginalize flagged frames — ONE masked device program for
+        # all of them (drop refs + Schur eliminations), host bookkeeping after
         with PROF.section("kf.marg_frames", lambda: self.win):
-            for s_ in list(self.kf_slots):
-                if flagged[s_]:
-                    self._marginalize_frame(s_)
+            if flagged.any():
+                self.win = ba.marginalize_frames_masked(
+                    self.win, jnp.asarray(flagged), settings=s
+                )
+                self.imm = self.imm.replace(
+                    valid=self.imm.valid & ~jnp.asarray(flagged)[:, None]
+                )
+                for s_ in list(self.kf_slots):
+                    if flagged[s_]:
+                        self._forget_slot(s_)
 
     # ------------------------------------------------------------------
     def _free_slot(self) -> int:
@@ -749,15 +765,17 @@ class FullSystem:
     # ------------------------------------------------------------------
     def _marginalize_frame(self, slot):
         """marginalizeFrame: drop residuals targeting the frame, drop its
-        hosted points (already flagged via host_flagged), Schur-eliminate."""
-        # residuals targeting the marginalized frame are dropped
-        # (FullSystemMarginalize.cpp:146-198); slot is traced so this
-        # compiles once for all slots
+        hosted points (already flagged via host_flagged), Schur-eliminate.
+        (Single-slot path; the keyframe pass uses the fused masked program.)"""
         self.win = ba.drop_frame_refs(self.win, jnp.asarray(slot))
         self.win = ba.marginalize_frame(
             self.win, jnp.asarray(slot), settings=self.settings
         )
         self.imm = IMM.clear_slot(self.imm, slot)
+        self._forget_slot(slot)
+
+    def _forget_slot(self, slot):
+        """Host bookkeeping of a marginalized window slot."""
         self.dI_slots[slot] = None
         self.right_slots[slot] = None
         self.kf_slots.remove(slot)
@@ -773,3 +791,34 @@ class FullSystem:
         for shell in self.history:
             out.append(self._shell_T_cw(shell))
         return out
+
+    def point_cloud(self):
+        """World-space 3D positions of the window's active points — the data
+        the reference's viewer renders per keyframe (PangolinDSOViewer's
+        KeyFrameDisplay, KeyFrameDisplay.cpp:102-173). Returns a dict with
+        'xyz' (N, 3), 'idepth' (N,), 'host_kf_id' (N,)."""
+        from stereo_dso_g2o_tpu.config import SCALE_IDEPTH
+
+        win = self.win
+        status = np.asarray(win.pt_status)
+        sel = status == W.PT_ACTIVE
+        if not sel.any():
+            return {"xyz": np.zeros((0, 3)), "idepth": np.zeros(0),
+                    "host_kf_id": np.zeros(0, int)}
+        u = np.asarray(win.pt_u, np.float64)[sel]
+        v = np.asarray(win.pt_v, np.float64)[sel]
+        idp = np.asarray(win.pt_idepth, np.float64)[sel] * SCALE_IDEPTH
+        host = np.asarray(win.pt_host)[sel]
+        ok = idp > 1e-6
+        u, v, idp, host = u[ok], v[ok], idp[ok], host[ok]
+        fx, fy, cx, cy = np.asarray(self.calib.c, np.float64)
+        Xc = np.stack([(u - cx) / fx / idp, (v - cy) / fy / idp, 1.0 / idp], -1)
+        w2c = np.asarray(win.w2c(), np.float64)
+        c2w = np.array([np.linalg.inv(w2c[s_]) for s_ in range(win.F)])
+        R = c2w[host][:, :3, :3]
+        t = c2w[host][:, :3, 3]
+        xyz = np.einsum("nij,nj->ni", R, Xc) + t
+        kf_ids = np.array(
+            [self.slot_frame_id.get(int(s_), -1) for s_ in host], int
+        )
+        return {"xyz": xyz, "idepth": idp, "host_kf_id": kf_ids}

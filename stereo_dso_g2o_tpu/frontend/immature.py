@@ -202,25 +202,38 @@ def optimize_immature(
     wM3, hM3 = float(Wd - 3), float(Hd - 3)
     pat = jnp.asarray(PATTERN, dtype=imm.u.dtype)
 
-    # flatten candidates over (F, C); target axis = F
-    host = jnp.repeat(jnp.arange(F), C)  # (F*C,)
-    u = imm.u.reshape(-1)
-    v = imm.v.reshape(-1)
-    color = imm.color.reshape(-1, 8)
-    weights = imm.weights.reshape(-1, 8)
-    eth = imm.energy_th.reshape(-1)
-    cand = (candidate & imm.valid).reshape(-1)
+    NFULL = F * C
+    cand_full = (candidate & imm.valid).reshape(-1)
 
-    R = RTll[host]  # (N, F, 3, 3)
-    t = tTll[host]  # (N, F, 3)
-    aff = aff_ht[host]  # (N, F, 2)
+    # compact candidates to a fixed batch: the gate passes far fewer points
+    # than the immature pool holds, so running the LM (and its patch gathers)
+    # over all F*C rows wastes ~8x the work. Overflow candidates stay
+    # immature until the next keyframe (the reference also bounds activations
+    # per KF via the density controller, FullSystem.cpp:805-840).
+    NC = min(NFULL, settings.activation_batch)
+    flat_idx = jnp.nonzero(cand_full, size=NC, fill_value=-1)[0]
+    sel_ok = flat_idx >= 0
+    safe = jnp.maximum(flat_idx, 0)
+
+    host_full = jnp.repeat(jnp.arange(F), C)  # (F*C,)
+    host = host_full[safe]
+    u = imm.u.reshape(-1)[safe]
+    v = imm.v.reshape(-1)[safe]
+    color = imm.color.reshape(-1, 8)[safe]
+    weights = imm.weights.reshape(-1, 8)[safe]
+    eth = imm.energy_th.reshape(-1)[safe]
+    cand = sel_ok
+
+    R = RTll[host]  # (NC, F, 3, 3)
+    t = tTll[host]  # (NC, F, 3)
+    aff = aff_ht[host]  # (NC, F, 2)
     tgt_ok = (
         cand[:, None]
         & frame_valid[None, :]
         & (host[:, None] != jnp.arange(F)[None, :])
-    )  # (N, F)
+    )  # (NC, F)
 
-    id0 = (0.5 * (imm.idepth_min + imm.idepth_max)).reshape(-1)
+    id0 = (0.5 * (imm.idepth_min + imm.idepth_max)).reshape(-1)[safe]
 
     KliP = jnp.stack(
         [
@@ -332,11 +345,20 @@ def optimize_immature(
     # not well-constrained -> keep immature (return 0); nan/low obs -> drop
     dropped = cand & (~finite | (well_constrained & (n_good < 1)))
 
+    # scatter compacted results back to the (F, C) pool layout; padding rows
+    # get an out-of-range index and are dropped (never alias slot 0)
+    f32 = idepth.dtype
+    out_idx = jnp.where(sel_ok, safe, NFULL)
+    id_full = jnp.zeros((NFULL,), f32).at[out_idx].set(idepth, mode="drop")
+    acc_full = jnp.zeros((NFULL,), bool).at[out_idx].set(accepted, mode="drop")
+    drop_full = jnp.zeros((NFULL,), bool).at[out_idx].set(dropped, mode="drop")
+    resg_full = jnp.zeros((NFULL, F), bool).at[out_idx].set(in_fin, mode="drop")
+
     return ActivationResult(
-        idepth=idepth.reshape(F, C),
-        accepted=accepted.reshape(F, C),
-        dropped=dropped.reshape(F, C),
-        res_good=in_fin.reshape(F, C, F),
+        idepth=id_full.reshape(F, C),
+        accepted=acc_full.reshape(F, C),
+        dropped=drop_full.reshape(F, C),
+        res_good=resg_full.reshape(F, C, F),
     )
 
 

@@ -66,18 +66,29 @@ class JsonlOutputWrapper(Output3DWrapper):
         )
 
     def publish_keyframes(self, kf_poses, points):
-        self.fh.write(
-            json.dumps(
+        """points: FullSystem.point_cloud() dict ('xyz', 'idepth',
+        'host_kf_id') or None. World-space clouds are grouped per host KF so
+        an offline viewer can apply the KeyFrameDisplay refresh semantics."""
+        rec = {
+            "type": "keyframes",
+            "poses": [
+                {"id": int(i), "T_cw": np.asarray(T).reshape(-1).tolist()}
+                for i, T in kf_poses
+            ],
+        }
+        if points and len(np.asarray(points.get("xyz", []))):
+            xyz = np.asarray(points["xyz"], np.float32)
+            idp = np.asarray(points["idepth"], np.float32)
+            hid = np.asarray(points["host_kf_id"], int)
+            rec["points"] = [
                 {
-                    "type": "keyframes",
-                    "poses": [
-                        {"id": int(i), "T_cw": np.asarray(T).reshape(-1).tolist()}
-                        for i, T in kf_poses
-                    ],
-                    "n_points": int(np.asarray(points.get("valid", [])).sum())
-                    if points
-                    else 0,
+                    "kf_id": int(k),
+                    "xyz": np.round(xyz[hid == k], 4).reshape(-1).tolist(),
+                    "idepth": np.round(idp[hid == k], 5).tolist(),
                 }
-            )
-            + "\n"
-        )
+                for k in np.unique(hid)
+            ]
+            rec["n_points"] = int(len(xyz))
+        else:
+            rec["n_points"] = 0
+        self.fh.write(json.dumps(rec) + "\n")

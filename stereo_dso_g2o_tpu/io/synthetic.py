@@ -61,8 +61,11 @@ def _sample_tex(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     v = np.mod(v, H)
     x0 = np.floor(u).astype(int)
     y0 = np.floor(v).astype(int)
-    fx = u - x0
-    fy = v - y0
+    fx = np.clip(u - x0, 0.0, 1.0)
+    fy = np.clip(v - y0, 0.0, 1.0)
+    # float mod of huge inputs can round to exactly W/H; re-wrap the integer
+    x0 = np.mod(x0, W)
+    y0 = np.mod(y0, H)
     x1 = (x0 + 1) % W
     y1 = (y0 + 1) % H
     return (
@@ -101,6 +104,208 @@ def default_scene(seed: int = 0) -> PlaneScene:
         dist=-5.0,
         tex=smooth_texture(rng),
     )
+
+
+@dataclasses.dataclass
+class Rect:
+    """A finite textured rectangle: points X with n.X = dist and
+    |(X - origin).e1| <= ext1, |(X - origin).e2| <= ext2."""
+
+    normal: np.ndarray  # (3,) plane normal (unit after init)
+    dist: float  # plane offset: n . X = dist
+    origin: np.ndarray  # (3,) rectangle center (must satisfy n.origin = dist)
+    ext1: float  # half-extent along e1
+    ext2: float  # half-extent along e2
+    tex: np.ndarray  # (S, S) float32
+    tex_scale: float = 20.0
+    e1: np.ndarray = None
+    e2: np.ndarray = None
+
+    def __post_init__(self):
+        n = self.normal / np.linalg.norm(self.normal)
+        self.normal = n
+        a = np.array([1.0, 0.0, 0.0]) if abs(n[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        e1 = np.cross(n, a)
+        self.e1 = e1 / np.linalg.norm(e1)
+        self.e2 = np.cross(n, self.e1)
+
+
+@dataclasses.dataclass
+class MultiScene:
+    """A set of finite rectangles + an optional infinite backdrop plane.
+
+    Ray-cast rendering (nearest hit per pixel) produces occlusion boundaries
+    and depth discontinuities with exact ground-truth inverse depth — the
+    adversarial structure a single plane cannot provide (depth edges are
+    where direct SLAM breaks: ImmaturePoint trace ambiguity, BA outliers).
+    """
+
+    rects: List[Rect]
+    backdrop: Optional[PlaneScene] = None
+
+
+def box_scene(
+    seed: int = 0,
+    n_boxes: int = 6,
+    depth_range: Tuple[float, float] = (8.0, 40.0),
+    lateral: float = 12.0,
+    ground: bool = True,
+    backdrop_dist: float = 60.0,
+) -> MultiScene:
+    """A KITTI-flavoured street block: frontal box faces at staggered depths,
+    side facades, a ground plane, and a far backdrop. All primitives textured
+    independently (no cross-boundary texture continuity to help matching)."""
+    rng = np.random.default_rng(seed)
+    rects: List[Rect] = []
+    zs = np.sort(rng.uniform(depth_range[0], depth_range[1], n_boxes))
+    for i, z in enumerate(zs):
+        # frontal face (normal -z) at depth z, offset laterally; kept off the
+        # exact optical axis so forward motion reveals occluded background
+        cx = rng.uniform(-lateral, lateral)
+        cy = rng.uniform(-1.0, 1.5)
+        half_w = rng.uniform(1.0, 3.5)
+        half_h = rng.uniform(1.0, 2.5)
+        rects.append(
+            Rect(
+                normal=np.array([rng.uniform(-0.15, 0.15), rng.uniform(-0.1, 0.1), -1.0]),
+                dist=-z,
+                origin=np.array([cx, cy, z]),
+                ext1=half_w,
+                ext2=half_h,
+                tex=smooth_texture(rng, 256),
+                tex_scale=rng.uniform(15.0, 40.0),
+            )
+        )
+    # two side facades (normals +-x), like building walls along the street
+    for sgn in (-1.0, 1.0):
+        x = sgn * (lateral + 2.0)
+        rects.append(
+            Rect(
+                normal=np.array([-sgn, 0.0, 0.0]),
+                dist=-abs(x),  # n.X = -sgn*x on the wall
+                origin=np.array([x, 0.0, depth_range[1] * 0.5]),
+                ext1=depth_range[1],
+                ext2=4.0,
+                tex=smooth_texture(rng, 256),
+                tex_scale=rng.uniform(10.0, 25.0),
+            )
+        )
+    if ground:
+        rects.append(
+            Rect(
+                normal=np.array([0.0, -1.0, 0.0]),
+                dist=-1.65,  # camera height above ground, KITTI-like
+                origin=np.array([0.0, 1.65, depth_range[1] * 0.5]),
+                ext1=depth_range[1] * 1.5,
+                ext2=lateral + 4.0,
+                tex=smooth_texture(rng, 256),
+                tex_scale=rng.uniform(8.0, 20.0),
+            )
+        )
+    backdrop = PlaneScene(
+        normal=np.array([0.02, -0.02, -1.0]),
+        dist=-backdrop_dist,
+        tex=smooth_texture(rng, 256),
+        tex_scale=5.0,
+    )
+    return MultiScene(rects=rects, backdrop=backdrop)
+
+
+def render_multi(
+    scene: MultiScene, K: np.ndarray, w: int, h: int, T_cw: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray-cast the rectangle set. Returns (image, idepth) with exact GT."""
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    C = -R.T @ t
+    Kinv = np.linalg.inv(K)
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    d_c = np.stack([us, vs, np.ones_like(us)], axis=-1) @ Kinv.T  # (h, w, 3)
+    d_w = d_c @ R
+
+    best_s = np.full((h, w), np.inf)
+    img = np.zeros((h, w), np.float32)
+
+    def consider(s, hit_img, mask):
+        nonlocal best_s, img
+        closer = mask & np.isfinite(s) & (s > 0.1) & (s < best_s)
+        best_s = np.where(closer, s, best_s)
+        img = np.where(closer, hit_img, img)
+
+    if scene.backdrop is not None:
+        b = scene.backdrop
+        denom = d_w @ b.normal
+        s = (b.dist - C @ b.normal) / np.where(np.abs(denom) < 1e-12, np.nan, denom)
+        X_w = C[None, None, :] + s[..., None] * d_w
+        u_t = (X_w @ b.e1) * b.tex_scale
+        v_t = (X_w @ b.e2) * b.tex_scale
+        hit = _sample_tex(b.tex, np.nan_to_num(u_t), np.nan_to_num(v_t))
+        consider(s, hit, np.ones((h, w), bool))
+
+    for r in scene.rects:
+        denom = d_w @ r.normal
+        s = (r.dist - C @ r.normal) / np.where(np.abs(denom) < 1e-12, np.nan, denom)
+        X_w = C[None, None, :] + s[..., None] * d_w
+        rel = X_w - r.origin[None, None, :]
+        a1 = rel @ r.e1
+        a2 = rel @ r.e2
+        inside = (np.abs(a1) <= r.ext1) & (np.abs(a2) <= r.ext2)
+        u_t = a1 * r.tex_scale
+        v_t = a2 * r.tex_scale
+        hit = _sample_tex(r.tex, np.nan_to_num(u_t), np.nan_to_num(v_t))
+        consider(s, hit, inside)
+
+    valid = np.isfinite(best_s)
+    # depth along camera z equals s because d_c z-component is 1
+    idepth = np.where(valid, 1.0 / np.where(valid, best_s, 1.0), 0.0).astype(np.float32)
+    img = np.where(valid, img, 0.0).astype(np.float32)
+    return img, idepth
+
+
+def render_multi_stereo_pair(
+    scene: MultiScene, K: np.ndarray, w: int, h: int, baseline: float,
+    T_cw: Optional[np.ndarray] = None, exposure: float = 1.0,
+):
+    """Returns (left, right, idepth_left); exposure scales both images
+    (photometric variation — the reference's ab-affine estimation target)."""
+    if T_cw is None:
+        T_cw = np.eye(4)
+    left, idepth = render_multi(scene, K, w, h, T_cw)
+    right, _ = render_multi(scene, K, w, h, stereo_pose(T_cw, baseline))
+    if exposure != 1.0:
+        left = np.clip(left * exposure, 0.0, 255.0)
+        right = np.clip(right * exposure, 0.0, 255.0)
+    return left, right, idepth
+
+
+def forward_trajectory(
+    n: int,
+    step: float = 0.35,
+    yaw_amp: float = 0.15,
+    yaw_period: float = 60.0,
+    y_bob: float = 0.01,
+    seed: int = 1,
+) -> List[np.ndarray]:
+    """KITTI-like forward trajectory with sinusoidal yaw (gentle curves) and
+    small vertical bobbing. Returns world-to-camera poses T_cw."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    pos = np.zeros(3)
+    yaw = 0.0
+    for i in range(n):
+        yaw = yaw_amp * np.sin(2 * np.pi * i / yaw_period)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        fwd = R_wc @ np.array([0.0, 0.0, 1.0])
+        if i > 0:
+            pos = pos + step * fwd
+        pos_i = pos + np.array([0.0, y_bob * np.sin(0.9 * i), 0.0])
+        T_wc = np.eye(4)
+        T_wc[:3, :3] = R_wc
+        T_wc[:3, 3] = pos_i
+        T_cw = np.linalg.inv(T_wc)
+        poses.append(T_cw)
+    return poses
 
 
 def render(

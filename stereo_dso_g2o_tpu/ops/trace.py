@@ -643,10 +643,12 @@ def trace_stereo(
     x0 = ptx_f.astype(jnp.int32) - K0 + PADX
     y0 = v_f.astype(jnp.int32) - 2 + PADY  # rows floor(v)-2 .. floor(v)+3
 
-    def grab(y0i, x0i):
-        return jax.lax.dynamic_slice(img, (y0i, x0i), (6, SW))
-
-    strip = jax.vmap(grab)(y0, x0)  # (N, 6, SW)
+    # one XLA gather for all strips (vs a vmapped dynamic_slice, which lowers
+    # ~30x slower on TPU at this point count)
+    strip = img[
+        (y0[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :])[:, :, None],
+        (x0[:, None] + jnp.arange(SW, dtype=jnp.int32)[None, :])[:, None, :],
+    ]  # (N, 6, SW)
     # vertical lerp -> rows at pattern dy in {-2..2}: (N, 5, SW)
     rows = (1.0 - fv[:, None, None]) * strip[:, :-1, :] + fv[:, None, None] * strip[
         :, 1:, :

@@ -189,8 +189,9 @@ class ResStats(NamedTuple):
 
 
 def _bilinear3(dI, x, y):
-    """Bilinear sample of an (H, W, 3) pyramid level at (x, y) — one fused
-    gather of the 2x2x3 neighbourhood per point via vmapped dynamic_slice."""
+    """Bilinear sample of an (H, W, 3) pyramid level at (x, y) — the whole
+    2x2x3 neighbourhood of every point in ONE XLA gather (broadcast advanced
+    indexing; ~30x faster on TPU than a vmapped dynamic_slice)."""
     H, W = dI.shape[:2]
     x = jnp.clip(x, 0.0, W - 1.001)
     y = jnp.clip(y, 0.0, H - 1.001)
@@ -198,18 +199,16 @@ def _bilinear3(dI, x, y):
     iy = jnp.floor(y).astype(jnp.int32)
     fx = (x - ix)[..., None]
     fy = (y - iy)[..., None]
-
-    def grab(iyi, ixi):
-        zero = jnp.zeros((), dtype=iyi.dtype)
-        return jax.lax.dynamic_slice(dI, (iyi, ixi, zero), (2, 2, 3))
-
-    p = jax.vmap(grab)(iy.ravel(), ix.ravel()).reshape(x.shape + (2, 2, 3))
+    d2 = jnp.arange(2, dtype=jnp.int32)
+    p = dI[
+        iy[..., None, None] + d2[:, None], ix[..., None, None] + d2[None, :]
+    ]  # (..., 2, 2, 3)
     top = (1 - fx) * p[..., 0, 0, :] + fx * p[..., 0, 1, :]
     bot = (1 - fx) * p[..., 1, 0, :] + fx * p[..., 1, 1, :]
     return (1 - fy) * top + fy * bot
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
+@functools.partial(jax.jit, static_argnames=("settings", "compute_flow"))
 def calc_res(
     pc_u,
     pc_v,
@@ -222,6 +221,7 @@ def calc_res(
     aff_ab,
     cutoff_th,
     settings: Settings = default_settings(),
+    compute_flow: bool = True,
 ) -> ResStats:
     """Photometric residuals of all reference points warped into the new frame
     (calcRes legacy semantics, CoarseTracker.cpp:600-792).
@@ -274,27 +274,32 @@ def calc_res(
     num_saturated = jnp.sum(saturated)
 
     # flow indicators, every 32nd point at the caller's discretion (:663-712):
-    # here over all valid points (denser estimate, same scale)
-    ptT = P + t[None, :] * pc_idepth[:, None]
-    KuT = fx * ptT[:, 0] / ptT[:, 2] + cx
-    KvT = fy * ptT[:, 1] / ptT[:, 2] + cy
-    ptT2 = P - t[None, :] * pc_idepth[:, None]
-    KuT2 = fx * ptT2[:, 0] / ptT2[:, 2] + cx
-    KvT2 = fy * ptT2[:, 1] / ptT2[:, 2] + cy
-    pt3 = P @ R.T - t[None, :] * pc_idepth[:, None]
-    Ku3 = fx * pt3[:, 0] / pt3[:, 2] + cx
-    Kv3 = fy * pt3[:, 1] / pt3[:, 2] + cy
+    # here over all valid points (denser estimate, same scale). Skipped inside
+    # the LM loop (compute_flow=False) — only the final evaluation needs them.
+    if compute_flow:
+        ptT = P + t[None, :] * pc_idepth[:, None]
+        KuT = fx * ptT[:, 0] / ptT[:, 2] + cx
+        KvT = fy * ptT[:, 1] / ptT[:, 2] + cy
+        ptT2 = P - t[None, :] * pc_idepth[:, None]
+        KuT2 = fx * ptT2[:, 0] / ptT2[:, 2] + cx
+        KvT2 = fy * ptT2[:, 1] / ptT2[:, 2] + cy
+        pt3 = P @ R.T - t[None, :] * pc_idepth[:, None]
+        Ku3 = fx * pt3[:, 0] / pt3[:, 2] + cx
+        Kv3 = fy * pt3[:, 1] / pt3[:, 2] + cy
 
-    m = pc_ok
-    nsel = jnp.maximum(jnp.sum(m), 1)
-    flow_t = (
-        jnp.sum(jnp.where(m, (KuT - pc_u) ** 2 + (KvT - pc_v) ** 2, 0.0))
-        + jnp.sum(jnp.where(m, (KuT2 - pc_u) ** 2 + (KvT2 - pc_v) ** 2, 0.0))
-    ) / (2.0 * nsel + 0.1)
-    flow_rt = (
-        jnp.sum(jnp.where(m, (Ku - pc_u) ** 2 + (Kv - pc_v) ** 2, 0.0))
-        + jnp.sum(jnp.where(m, (Ku3 - pc_u) ** 2 + (Kv3 - pc_v) ** 2, 0.0))
-    ) / (2.0 * nsel + 0.1)
+        m = pc_ok
+        nsel = jnp.maximum(jnp.sum(m), 1)
+        flow_t = (
+            jnp.sum(jnp.where(m, (KuT - pc_u) ** 2 + (KvT - pc_v) ** 2, 0.0))
+            + jnp.sum(jnp.where(m, (KuT2 - pc_u) ** 2 + (KvT2 - pc_v) ** 2, 0.0))
+        ) / (2.0 * nsel + 0.1)
+        flow_rt = (
+            jnp.sum(jnp.where(m, (Ku - pc_u) ** 2 + (Kv - pc_v) ** 2, 0.0))
+            + jnp.sum(jnp.where(m, (Ku3 - pc_u) ** 2 + (Kv3 - pc_v) ** 2, 0.0))
+        ) / (2.0 * nsel + 0.1)
+    else:
+        flow_t = jnp.asarray(0.0, dI_new.dtype)
+        flow_rt = jnp.asarray(0.0, dI_new.dtype)
 
     return ResStats(
         energy=energy,
@@ -405,11 +410,11 @@ def lm_level(
     cutoff = settings.coarse_cutoff_th * cutoff_repeat
     lambda_extrap_limit = 0.001
 
-    def res_of(T, aff):
+    def res_of(T, aff, compute_flow=False):
         ab = _aff_transfer(ref_exposure, new_exposure, ref_aff, aff)
         return calc_res(
             pc_u, pc_v, pc_idepth, pc_color, pc_ok, dI_new, K_lvl, T, ab,
-            cutoff, settings=settings,
+            cutoff, settings=settings, compute_flow=compute_flow,
         ), ab
 
     stats0, ab0 = res_of(T_init, aff_init)
@@ -418,21 +423,23 @@ def lm_level(
     opt_a = settings.affine_opt_mode_a >= 0
     opt_b = settings.affine_opt_mode_b >= 0
 
+    from stereo_dso_g2o_tpu.utils.smalls import cholesky_solve_small
+
     def solve(Hm, bv, lam):
         Hl = Hm + jnp.diag(jnp.diag(Hm)) * lam
         if opt_a and opt_b:
-            inc = jnp.linalg.solve(Hl, -bv)
+            inc = cholesky_solve_small(Hl, -bv)
         elif not opt_a and not opt_b:
-            inc6 = jnp.linalg.solve(Hl[:6, :6], -bv[:6])
+            inc6 = cholesky_solve_small(Hl[:6, :6], -bv[:6])
             inc = jnp.concatenate([inc6, jnp.zeros(2, Hl.dtype)])
         elif opt_a and not opt_b:
-            inc7 = jnp.linalg.solve(Hl[:7, :7], -bv[:7])
+            inc7 = cholesky_solve_small(Hl[:7, :7], -bv[:7])
             inc = jnp.concatenate([inc7, jnp.zeros(1, Hl.dtype)])
         else:  # fix a, optimize b (stitch trick, :1003-1017)
             idx = jnp.asarray([0, 1, 2, 3, 4, 5, 7])
             Hs = Hl[jnp.ix_(idx, idx)]
             bs = bv[idx]
-            inc7 = jnp.linalg.solve(Hs, -bs)
+            inc7 = cholesky_solve_small(Hs, -bs)
             inc = jnp.zeros(8, Hl.dtype)
             inc = inc.at[:6].set(inc7[:6])
             inc = inc.at[7].set(inc7[6])
@@ -489,7 +496,7 @@ def lm_level(
     )
     _, T, aff, E, n, _, _, _, _ = jax.lax.while_loop(cond, body, init)
 
-    stats_f, _ = res_of(T, aff)
+    stats_f, _ = res_of(T, aff, compute_flow=True)
     return LevelResult(
         T=T,
         aff=aff,

@@ -43,10 +43,9 @@ if not _NEEDS_REEXEC:
 import numpy as np
 import pytest
 
-if _NEEDS_REEXEC:
-
-    @pytest.hookimpl(tryfirst=True)
-    def pytest_configure(config):
+@pytest.hookimpl(tryfirst=True)
+def pytest_configure(config):
+    if _NEEDS_REEXEC:
         capman = config.pluginmanager.getplugin("capturemanager")
         if capman is not None:
             try:
@@ -61,6 +60,11 @@ if _NEEDS_REEXEC:
         os.execve(
             sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env
         )
+    config.addinivalue_line(
+        "markers",
+        "slow: long end-to-end tests; deselect with -m 'not slow' for the "
+        "fast tier (full suite stays the CI gate)",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -91,6 +91,41 @@ def test_trajectory_eval_helpers(tmp_path):
     assert t_err < 1e-6 and r_err < 1e-6
 
 
+@pytest.mark.slow
+def test_full_system_occlusion_scene():
+    """End-to-end odometry on a hostile multi-object scene: boxes at staggered
+    depths, ground plane, side facades -> occlusion boundaries, depth
+    discontinuities, background revealed by forward motion. Exposure varies
+    sinusoidally so the affine-brightness estimation is exercised too.
+    (KITTI-style validation stand-in; VERDICT round-1 item 3.)"""
+    w, h = 256, 96
+    baseline = 0.3
+    K = synthetic.default_K(w, h, fov_deg=75.0)
+    scene = synthetic.box_scene(
+        seed=7, n_boxes=5, depth_range=(6.0, 25.0), lateral=8.0,
+        backdrop_dist=40.0,
+    )
+    poses = synthetic.forward_trajectory(24, step=0.22, yaw_amp=0.10, yaw_period=30.0)
+    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], baseline, w, h, n_levels=5)
+    fs = FullSystem(calib, SET)
+    gt_c2w = []
+    for i, T_cw in enumerate(poses):
+        expo = 1.0 + 0.15 * np.sin(0.4 * i)
+        left, right, _ = synthetic.render_multi_stereo_pair(
+            scene, K, w, h, baseline, T_cw, exposure=expo
+        )
+        fs.add_frame(left, right, i, timestamp=0.1 * i)
+        assert not fs.is_lost, f"lost at frame {i}"
+        gt_c2w.append(np.linalg.inv(T_cw))
+
+    traj = fs.trajectory()
+    ate = trajectory.ate_rmse(traj, gt_c2w)
+    # ~5.3 m travelled among obstacles: a few cm ATE is a pass; the planar
+    # scenes achieve mm but occlusion boundaries legitimately cost accuracy
+    assert ate < 0.08, ate
+    assert len(fs.kf_shells) >= 4
+
+
 def test_garbage_input_no_crash():
     """Uncorrelated noise frames: the system must fail gracefully (reset flag
     or lost or simply no tracking), never crash (reference resets,
