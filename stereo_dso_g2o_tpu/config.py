@@ -147,6 +147,12 @@ class Settings:
     # (gated candidates rarely exceed the per-KF activation need; overflow
     # simply stays immature until the next keyframe)
     activation_batch: int = 2048
+    # live immature points traced per frame: the (F, immature_cap) pool is
+    # sized for worst-case seeding, but typically <25% of rows are alive, so
+    # the per-frame traces (temporal + 2x static stereo) compact live rows to
+    # this fixed batch first. Overflow rows simply keep their interval until
+    # a later frame (bounded, burst-only deviation).
+    trace_cap: int = 6144
     # per-KF eigenvalue/Hessian-diag/nullspace dump into the stats stream
     # (setting_logStuff's printEigenValLine, FullSystem.cpp:1689-1768)
     log_eigenvalues: bool = False

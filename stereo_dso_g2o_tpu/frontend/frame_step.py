@@ -293,6 +293,7 @@ def tracking_ref_inputs(
         usj, vsj, ids * 0.1, ids * 1.9, color, weights_p, gradH, eth,
         jnp.full((n,), 10000.0), jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
         K0, baseline, dI_right0, mode_right=True, settings=s,
+        backend=trace_ops.default_backend(),
     )
     lr_good = res_lr.status == trace_ops.IPS_GOOD
     u_r = jnp.clip(res_lr.last_uv[:, 0], 8.0, Wd - 9.0)
@@ -304,6 +305,7 @@ def tracking_ref_inputs(
         u_r, v_r, ids * 0.1, ids * 1.9, color_r, weights_r, gradH_r, eth_r,
         jnp.full((n,), 10000.0), jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
         K0, baseline, dI_new0, mode_right=False, settings=s,
+        backend=trace_ops.default_backend(),
     )
     u_delta = jnp.abs(us - res_rl.last_uv[:, 0])
     depth = 1.0 / jnp.where(idepth_stereo != 0, idepth_stereo, jnp.inf)

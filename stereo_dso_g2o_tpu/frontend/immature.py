@@ -125,49 +125,89 @@ def trace_on_frame(
     trace_batch call (per-point host transforms)."""
     if backend is None:
         backend = trace_ops.default_backend()
-    F, C = imm.u.shape
-    N = F * C
-
-    def pp(x):  # per-host (F, ...) -> per-point (N, ...)
-        return jnp.broadcast_to(
-            x[:, None], (F, C) + x.shape[1:]
-        ).reshape((N,) + x.shape[1:])
-
-    flat = trace_ops.trace_batch(
-        imm.u.reshape(N),
-        imm.v.reshape(N),
-        imm.idepth_min.reshape(N),
-        imm.idepth_max.reshape(N),
-        imm.color.reshape(N, 8),
-        imm.weights.reshape(N, 8),
-        imm.gradH.reshape(N, 2, 2),
-        imm.energy_th.reshape(N),
-        imm.quality.reshape(N),
-        imm.status.reshape(N),
-        pp(KRKi),
-        pp(Kt),
-        pp(aff),
+    flat, sel = _compact_live(imm, host_valid, settings)
+    traced = trace_ops.trace_batch(
+        flat["u"],
+        flat["v"],
+        flat["idepth_min"],
+        flat["idepth_max"],
+        flat["color"],
+        flat["weights"],
+        flat["gradH"],
+        flat["energy_th"],
+        flat["quality"],
+        flat["status"],
+        KRKi[flat["host"]],
+        Kt[flat["host"]],
+        aff[flat["host"]],
         dI_new,
         settings=settings,
         backend=backend,
     )
-    res = trace_ops.TraceResult(
-        status=flat.status.reshape(F, C),
-        idepth_min=flat.idepth_min.reshape(F, C),
-        idepth_max=flat.idepth_max.reshape(F, C),
-        last_uv=flat.last_uv.reshape(F, C, 2),
-        pixel_interval=flat.pixel_interval.reshape(F, C),
-        quality=flat.quality.reshape(F, C),
-        best_energy=flat.best_energy.reshape(F, C),
+    return _scatter_trace(imm, sel, traced)
+
+
+def _compact_live(imm: ImmatureSet, host_valid, settings: Settings):
+    """Gather live immature rows into a fixed (trace_cap,) pool.
+
+    The (F, C) capacity is sized for worst-case seeding; typically <25% of
+    rows are alive, so the per-frame traces run ~4x less work on the compact
+    pool. Returns (fields dict incl. `host`, scatter index array (NC,) with
+    -1 for unused lanes). Exact whenever live rows <= trace_cap (overflow
+    rows keep their interval until a later frame)."""
+    F, C = imm.u.shape
+    NFULL = F * C
+    NC = min(NFULL, settings.trace_cap)
+    live = (imm.valid & host_valid[:, None]).reshape(-1)
+    idx = jnp.nonzero(live, size=NC, fill_value=-1)[0]
+    sel_ok = idx >= 0
+    safe = jnp.maximum(idx, 0)
+
+    def g(x):
+        return x.reshape((NFULL,) + x.shape[2:])[safe]
+
+    fields = dict(
+        u=g(imm.u),
+        v=g(imm.v),
+        idepth_min=g(imm.idepth_min),
+        idepth_max=g(imm.idepth_max),
+        color=g(imm.color),
+        weights=g(imm.weights),
+        gradH=g(imm.gradH),
+        energy_th=g(imm.energy_th),
+        quality=g(imm.quality),
+        # unused lanes run frozen (OOB never re-traces: trace_batch no-ops)
+        status=jnp.where(sel_ok, g(imm.status), trace_ops.IPS_OOB),
+        host=(safe // C).astype(jnp.int32),
+        sel_ok=sel_ok,
     )
-    upd = imm.valid & host_valid[:, None]
+    return fields, idx
+
+
+def _scatter_trace(
+    imm: ImmatureSet, idx, traced: trace_ops.TraceResult
+) -> ImmatureSet:
+    """Scatter compact-pool trace results back into the (F, C) arrays
+    (out-of-bounds lanes drop)."""
+    F, C = imm.u.shape
+    NFULL = F * C
+    dst = jnp.where(idx >= 0, idx, NFULL)
+
+    def put(full, vals):
+        return (
+            full.reshape((NFULL,) + full.shape[2:])
+            .at[dst]
+            .set(vals, mode="drop")
+            .reshape(full.shape)
+        )
+
     return imm.replace(
-        idepth_min=jnp.where(upd, res.idepth_min, imm.idepth_min),
-        idepth_max=jnp.where(upd, res.idepth_max, imm.idepth_max),
-        quality=jnp.where(upd, res.quality, imm.quality),
-        status=jnp.where(upd, res.status, imm.status),
-        pixel_interval=jnp.where(upd, res.pixel_interval, imm.pixel_interval),
-        last_uv=jnp.where(upd[..., None], res.last_uv, imm.last_uv),
+        idepth_min=put(imm.idepth_min, traced.idepth_min),
+        idepth_max=put(imm.idepth_max, traced.idepth_max),
+        quality=put(imm.quality, traced.quality),
+        status=put(imm.status, traced.status),
+        pixel_interval=put(imm.pixel_interval, traced.pixel_interval),
+        last_uv=put(imm.last_uv, traced.last_uv),
     )
 
 
@@ -443,28 +483,45 @@ def trace_on_nonkey(
     onto the new frame, then L->R / R->L static-stereo refinement at the found
     position, and reprojection of the refined inverse-depth interval back into
     the host keyframe. Keeps the reference's acceptance quirk (:707: reject
-    only when u_delta > 1 AND disparity < 10)."""
+    only when u_delta > 1 AND disparity < 10).
+
+    The whole refinement (temporal trace + 2 stereo traces + both
+    extract_point_data passes + reprojection) runs on the compact live-row
+    pool (settings.trace_cap) — the fixed (F, C) capacity holds ~4x more
+    dead slots than live points in steady state."""
     F, C = imm.u.shape
-    imm = trace_on_frame(imm, KRKi, Kt, aff, dI_new, host_valid, settings)
+    backend = trace_ops.default_backend()
+    flat, sel = _compact_live(imm, host_valid, settings)
+    host = flat["host"]
 
-    good = imm.valid & host_valid[:, None] & (imm.status == trace_ops.IPS_GOOD)
+    traced = trace_ops.trace_batch(
+        flat["u"], flat["v"], flat["idepth_min"], flat["idepth_max"],
+        flat["color"], flat["weights"], flat["gradH"], flat["energy_th"],
+        flat["quality"], flat["status"],
+        KRKi[host], Kt[host], aff[host], dI_new,
+        settings=settings, backend=backend,
+    )
+
+    good = flat["sel_ok"] & (traced.status == trace_ops.IPS_GOOD)
     Hd, Wd = dI_new.shape[:2]
-    u2 = jnp.clip(imm.last_uv[..., 0].reshape(-1), 8.0, Wd - 9.0)
-    v2 = jnp.clip(imm.last_uv[..., 1].reshape(-1), 8.0, Hd - 9.0)
+    u2 = jnp.clip(traced.last_uv[:, 0], 8.0, Wd - 9.0)
+    v2 = jnp.clip(traced.last_uv[:, 1], 8.0, Hd - 9.0)
 
-    # project the host interval into the new frame (:676-686)
-    ones = jnp.ones_like(imm.u)
-    P = jnp.stack([imm.u, imm.v, ones], -1)  # (F, C, 3)
+    # project the (traced) host interval into the new frame (:676-686)
+    ones = jnp.ones_like(u2)
+    P = jnp.stack([flat["u"], flat["v"], ones], -1)  # (n, 3)
+    KRKi_pt = KRKi[host]
+    Kt_pt = Kt[host]
     ptp_min = (
-        jnp.einsum("fij,fcj->fci", KRKi, P / imm.idepth_min[..., None])
-        + Kt[:, None, :]
+        jnp.einsum("nij,nj->ni", KRKi_pt, P / traced.idepth_min[:, None])
+        + Kt_pt
     )
-    id_min_proj = (1.0 / ptp_min[..., 2]).reshape(-1)
+    id_min_proj = 1.0 / ptp_min[:, 2]
     ptp_max = (
-        jnp.einsum("fij,fcj->fci", KRKi, P / imm.idepth_max[..., None])
-        + Kt[:, None, :]
+        jnp.einsum("nij,nj->ni", KRKi_pt, P / traced.idepth_max[:, None])
+        + Kt_pt
     )
-    id_max_proj = (1.0 / ptp_max[..., 2]).reshape(-1)
+    id_max_proj = 1.0 / ptp_max[:, 2]
 
     color2, weights2, gradH2, eth2 = trace_ops.extract_point_data(
         dI_new, u2, v2, settings
@@ -476,7 +533,7 @@ def trace_on_nonkey(
     res_lr, idepth_stereo = trace_ops.trace_stereo(
         u2, v2, id_min_proj, id_max_proj, color2, weights2, gradH2, eth2,
         fresh_q, fresh_st, K, baseline, dI_right,
-        mode_right=True, settings=settings,
+        mode_right=True, settings=settings, backend=backend,
     )
     stereo_good = res_lr.status == trace_ops.IPS_GOOD
 
@@ -487,8 +544,10 @@ def trace_on_nonkey(
     )
     res_rl, _ = trace_ops.trace_stereo(
         u3, v3, id_min_proj, id_max_proj, color3, weights3, gradH3, eth3,
-        jnp.full((n,), 10000.0), jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        jnp.full((n,), 10000.0),
+        jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
         K, baseline, dI_new, mode_right=False, settings=settings,
+        backend=backend,
     )
 
     u_delta = jnp.abs(u2 - res_rl.last_uv[:, 0])
@@ -501,31 +560,26 @@ def trace_on_nonkey(
     P2 = jnp.stack([u2, v2, jnp.ones_like(u2)], -1)  # (n, 3)
     KiP2 = jnp.einsum("ij,nj->ni", Ki, P2)
     KRi = jnp.einsum("ij,fkj->fik", K, R_new)  # K @ R^T per host (F,3,3)
-    KRi_flat = KRi[jnp.repeat(jnp.arange(F), C)]
-    t_flat = t_new[jnp.repeat(jnp.arange(F), C)]
+    KRi_pt = KRi[host]
+    t_pt = t_new[host]
 
     def backproj(id_stereo):
         pinv = jnp.einsum(
-            "nij,nj->ni", KRi_flat, KiP2 / id_stereo[:, None] - t_flat
+            "nij,nj->ni", KRi_pt, KiP2 / id_stereo[:, None] - t_pt
         )
         return 1.0 / pinv[:, 2]
 
     id_min_new = backproj(res_lr.idepth_min)
     id_max_new = backproj(res_lr.idepth_max)
 
-    good_f = good.reshape(-1)
-    upd = good_f & accept
-    rej = good_f & reject
-    out_min = jnp.where(upd, id_min_new, imm.idepth_min.reshape(-1))
-    out_max = jnp.where(upd, id_max_new, imm.idepth_max.reshape(-1))
-    out_st = jnp.where(
-        rej, trace_ops.IPS_OUTLIER, imm.status.reshape(-1)
+    upd = good & accept
+    rej = good & reject
+    refined = traced._replace(
+        idepth_min=jnp.where(upd, id_min_new, traced.idepth_min),
+        idepth_max=jnp.where(upd, id_max_new, traced.idepth_max),
+        status=jnp.where(rej, trace_ops.IPS_OUTLIER, traced.status),
     )
-    return imm.replace(
-        idepth_min=out_min.reshape(F, C),
-        idepth_max=out_max.reshape(F, C),
-        status=out_st.reshape(F, C),
-    )
+    return _scatter_trace(imm, sel, refined)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "max_insert"))

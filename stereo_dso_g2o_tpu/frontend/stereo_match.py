@@ -63,6 +63,7 @@ def stereo_match_points(
     res_lr, idepth_lr = trace_ops.trace_stereo(
         us, vs, zeros, nans, color, weights, gradH, energy_th, quality, status,
         K, baseline, dI_right, mode_right=True, settings=settings,
+        backend=trace_ops.default_backend(),
     )
     good_lr = valid & (res_lr.status == trace_ops.IPS_GOOD)
 
@@ -77,6 +78,7 @@ def stereo_match_points(
         jnp.full((n,), 10000.0, dtype=f32),
         jnp.full((n,), trace_ops.IPS_UNINITIALIZED, dtype=jnp.int32),
         K, baseline, dI_left, mode_right=False, settings=settings,
+        backend=trace_ops.default_backend(),
     )
 
     u_delta = jnp.abs(us - res_rl.last_uv[:, 0])

@@ -537,7 +537,75 @@ def trace(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "mode_right"))
+def _stereo_finish(
+    u_stereo, u, v, u_min, u_max, dist, best_u, best_energy,
+    best_energy_search, quality, quality_out, status, energy_th,
+    error_in_pixel, ktx, bf, dirx, idepth_min_stereo, idepth_max_stereo,
+    oob_min, oob_max, skipped, badcond, settings: Settings,
+):
+    """Shared trace_stereo tail: outlier gate, interval update, status
+    machine, last-UV bookkeeping (ImmaturePoint.cpp:411-457)."""
+    too_high = ~(best_energy < energy_th * settings.trace_extra_slack_on_th)
+    outlier_status = jnp.where(status == IPS_OUTLIER, IPS_OOB, IPS_OUTLIER)
+
+    # -- interval update: idepth = (bestU +- e - u) / ktx  (Kt_z = 0) --
+    e = error_in_pixel
+    id_a = (best_u - e * dirx - u) / ktx
+    id_b = (best_u + e * dirx - u) / ktx
+    id_min_new = jnp.minimum(id_a, id_b)
+    id_max_new = jnp.maximum(id_a, id_b)
+    bad_interval = (
+        ~jnp.isfinite(id_min_new) | ~jnp.isfinite(id_max_new) | (id_max_new < 0)
+    )
+
+    frozen = status == IPS_OOB
+    st = jnp.full_like(status, IPS_GOOD)
+    st = jnp.where(bad_interval, IPS_OUTLIER, st)
+    st = jnp.where(too_high, outlier_status, st)
+    st = jnp.where(badcond, IPS_BADCONDITION, st)
+    st = jnp.where(skipped, IPS_SKIPPED, st)
+    st = jnp.where(oob_max, IPS_OOB, st)
+    st = jnp.where(oob_min, IPS_OOB, st)
+    st = jnp.where(frozen, IPS_OOB, st)
+
+    updated = (st == IPS_GOOD) & ~frozen
+    out_min = jnp.where(updated, id_min_new, idepth_min_stereo)
+    out_max = jnp.where(updated, id_max_new, idepth_max_stereo)
+
+    mid_u = 0.5 * (u_min + u_max)
+    last_u = jnp.where(
+        st == IPS_GOOD,
+        best_u,
+        jnp.where((st == IPS_SKIPPED) | (st == IPS_BADCONDITION), mid_u, -1.0),
+    )
+    last_v = jnp.where(
+        st == IPS_GOOD,
+        v,
+        jnp.where((st == IPS_SKIPPED) | (st == IPS_BADCONDITION), v, -1.0),
+    )
+    pixel_interval = jnp.where(
+        st == IPS_GOOD,
+        2.0 * error_in_pixel,
+        jnp.where((st == IPS_SKIPPED) | (st == IPS_BADCONDITION), dist, 0.0),
+    )
+    quality_out = jnp.where(frozen, quality, quality_out)
+
+    res = TraceResult(
+        status=st,
+        idepth_min=out_min,
+        idepth_max=out_max,
+        last_uv=jnp.stack([last_u, last_v], axis=-1),
+        pixel_interval=pixel_interval,
+        quality=quality_out,
+        best_energy=best_energy,
+    )
+    idepth_stereo = (u_stereo - res.last_uv[:, 0]) / bf
+    return res, idepth_stereo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "mode_right", "backend")
+)
 def trace_stereo(
     u_stereo,
     v_stereo,
@@ -554,6 +622,7 @@ def trace_stereo(
     dI_target,
     mode_right: bool = True,
     settings: Settings = default_settings(),
+    backend: str = "xla",
 ):
     """Static stereo trace (ImmaturePoint.cpp:94-457), strip-optimized.
 
@@ -628,6 +697,94 @@ def trace_stereo(
 
     rand_shift = u_min * 1000.0 - jnp.floor(u_min * 1000.0)
     ptx = u_min - rand_shift * dirx  # pty = v
+    n_gn = settings.trace_gn_iterations
+
+    if backend == "pallas":
+        # Horizontal search = the temporal slab kernel with (dx, dy) =
+        # (dirx, 0), affine (1, 0), identity pattern rotation. Replaces the
+        # (N, 6, SW) strip gather (the nonkey hot path's dominant cost: the
+        # general XLA gather runs ~17 ns/scalar; the kernel DMA-stages slabs
+        # and samples on the MXU).
+        from stereo_dso_g2o_tpu.ops import trace_pallas as tk
+
+        pre_masked = (
+            oob_min
+            | oob_max_f
+            | oob_max_i
+            | skipped
+            | badcond
+            | (status == IPS_OOB)
+        )
+        safe_ = lambda x: jnp.where(pre_masked | ~jnp.isfinite(x), 8.0, x)
+        ptx_s = safe_(ptx)
+        v_s = safe_(v)
+        ns_eff = jnp.where(pre_masked, 0, num_steps)
+        dx_v = jnp.full_like(ptx_s, dirx)
+        dy_v = jnp.zeros_like(ptx_s)
+
+        img_pad, oy, ox = tk.pad_image_for_search(dI_target[..., 0])
+        Hp, Wp = img_pad.shape
+        y0p, x0p, ptx_rel, pty_rel = tk.slab_origins(
+            ptx_s, v_s, dx_v, dy_v, ns_eff, oy, ox, Hp, Wp
+        )
+        scal = jnp.stack(
+            [
+                ptx_rel,
+                pty_rel,
+                dx_v,
+                dy_v,
+                ns_eff.astype(f32),
+                jnp.ones_like(ptx_s),
+                jnp.zeros_like(ptx_s),
+                jnp.zeros_like(ptx_s),
+            ],
+            axis=1,
+        )
+        pat8 = jnp.asarray(PATTERN, dtype=f32)
+        patx_b = jnp.broadcast_to(pat8[None, :, 0], (n, 8))
+        paty_b = jnp.broadcast_to(pat8[None, :, 1], (n, 8))
+        BLK = 16
+        npad = (-n) % BLK
+
+        def padn(x, fill=0.0):
+            if npad == 0:
+                return x
+            cfg = [(0, npad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, cfg, constant_values=fill)
+
+        out = tk.epipolar_search(
+            img_pad,
+            padn(y0p),
+            padn(x0p),
+            padn(scal),
+            padn(color),
+            padn(weights),
+            padn(patx_b),
+            padn(paty_b),
+            S=S,
+            BLK=BLK,
+            huber_th=float(settings.huber_th),
+            gn_iters=int(n_gn),
+            gn_threshold=float(settings.trace_gn_threshold),
+            interpret=jax.default_backend() == "cpu",
+        )[:n]
+        best_u = out[:, tk.OUT_BEST_U] - (ox - x0p.astype(f32))
+        best_energy_search = out[:, tk.OUT_E_SEARCH]
+        second_best = out[:, tk.OUT_SECOND_BEST]
+        best_energy = jnp.where(
+            n_gn > 0, out[:, tk.OUT_E_GN], best_energy_search
+        )
+        new_quality = second_best / jnp.maximum(best_energy_search, 1e-20)
+        quality_out = jnp.where(
+            (new_quality < quality) | (num_steps > 10), new_quality, quality
+        )
+        return _stereo_finish(
+            u_stereo, u, v, u_min, u_max, dist, best_u, best_energy,
+            best_energy_search, quality, quality_out, status, energy_th,
+            error_in_pixel, ktx, bf, dirx,
+            idepth_min_stereo, idepth_max_stereo,
+            oob_min, oob_max_f | oob_max_i, skipped, badcond, settings,
+        )
 
     # -- strip extraction: ONE contiguous gather per point --
     PADX, PADY = SW, 8
@@ -694,7 +851,6 @@ def trace_stereo(
     )
 
     # -- GN refinement along the row (few samples: generic bilinear is fine) --
-    n_gn = settings.trace_gn_iterations
     best_energy = jnp.where(
         n_gn > 0, jnp.full_like(best_energy_search, 1e5), best_energy_search
     )
@@ -737,59 +893,10 @@ def trace_stereo(
     )
     best_u, _, _, best_energy, _ = jax.lax.fori_loop(0, n_gn, gn_body, carry)
 
-    too_high = ~(best_energy < energy_th * settings.trace_extra_slack_on_th)
-    outlier_status = jnp.where(status == IPS_OUTLIER, IPS_OOB, IPS_OUTLIER)
-
-    # -- interval update: idepth = (bestU +- e - u) / ktx  (Kt_z = 0) --
-    e = error_in_pixel
-    id_a = (best_u - e * dirx - u) / ktx
-    id_b = (best_u + e * dirx - u) / ktx
-    id_min_new = jnp.minimum(id_a, id_b)
-    id_max_new = jnp.maximum(id_a, id_b)
-    bad_interval = (
-        ~jnp.isfinite(id_min_new) | ~jnp.isfinite(id_max_new) | (id_max_new < 0)
+    return _stereo_finish(
+        u_stereo, u, v, u_min, u_max, dist, best_u, best_energy,
+        best_energy_search, quality, quality_out, status, energy_th,
+        error_in_pixel, ktx, bf, dirx,
+        idepth_min_stereo, idepth_max_stereo,
+        oob_min, oob_max_f | oob_max_i, skipped, badcond, settings,
     )
-
-    frozen = status == IPS_OOB
-    st = jnp.full_like(status, IPS_GOOD)
-    st = jnp.where(bad_interval, IPS_OUTLIER, st)
-    st = jnp.where(too_high, outlier_status, st)
-    st = jnp.where(badcond, IPS_BADCONDITION, st)
-    st = jnp.where(skipped, IPS_SKIPPED, st)
-    st = jnp.where(oob_max_f | oob_max_i, IPS_OOB, st)
-    st = jnp.where(oob_min, IPS_OOB, st)
-    st = jnp.where(frozen, IPS_OOB, st)
-
-    updated = (st == IPS_GOOD) & ~frozen
-    out_min = jnp.where(updated, id_min_new, idepth_min_stereo)
-    out_max = jnp.where(updated, id_max_new, idepth_max_stereo)
-
-    mid_u = 0.5 * (u_min + u_max)
-    last_u = jnp.where(
-        st == IPS_GOOD,
-        best_u,
-        jnp.where((st == IPS_SKIPPED) | (st == IPS_BADCONDITION), mid_u, -1.0),
-    )
-    last_v = jnp.where(
-        st == IPS_GOOD,
-        v,
-        jnp.where((st == IPS_SKIPPED) | (st == IPS_BADCONDITION), v, -1.0),
-    )
-    pixel_interval = jnp.where(
-        st == IPS_GOOD,
-        2.0 * error_in_pixel,
-        jnp.where((st == IPS_SKIPPED) | (st == IPS_BADCONDITION), dist, 0.0),
-    )
-    quality_out = jnp.where(frozen, quality, quality_out)
-
-    res = TraceResult(
-        status=st,
-        idepth_min=out_min,
-        idepth_max=out_max,
-        last_uv=jnp.stack([last_u, last_v], axis=-1),
-        pixel_interval=pixel_interval,
-        quality=quality_out,
-        best_energy=best_energy,
-    )
-    idepth_stereo = (u_stereo - res.last_uv[:, 0]) / bf
-    return res, idepth_stereo

@@ -215,3 +215,101 @@ def test_trace_pallas_matches_xla():
     dmin = np.abs(np.asarray(rx.idepth_min) - np.asarray(rp.idepth_min))
     rel = dmin[both_good] / np.maximum(np.asarray(rx.idepth_min)[both_good], 1e-3)
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_trace_stereo_pallas_matches_xla():
+    """The stereo trace through the slab kernel (horizontal special case,
+    interpret mode on CPU) must agree with the strip-slice XLA formulation."""
+    scene = synthetic.default_scene(6)
+    w, h, b = 256, 128, 0.2
+    K = synthetic.default_K(w, h)
+    left, right, idepth = synthetic.render_stereo_pair(scene, K, w, h, b)
+    dIl, _ = build_pyramid(jnp.asarray(left), 4)
+    dIr, _ = build_pyramid(jnp.asarray(right), 4)
+    us, vs = _grid_points(w, h, margin=25, step=13)
+    n = len(us)
+    color, weights, gradH, eth = trace_ops.extract_point_data(
+        dIl[0], jnp.asarray(us), jnp.asarray(vs), SET
+    )
+    Kj = jnp.asarray(K, dtype=jnp.float32)
+    args = (
+        jnp.asarray(us), jnp.asarray(vs),
+        jnp.zeros(n, jnp.float32), jnp.full(n, jnp.nan, jnp.float32),
+        color, weights, gradH, eth,
+        jnp.full(n, 10000.0, jnp.float32),
+        jnp.full(n, trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        Kj, jnp.float32(b), dIr[0],
+    )
+    rx, idx_x = trace_ops.trace_stereo(
+        *args, mode_right=True, settings=SET, backend="xla"
+    )
+    rp, idx_p = trace_ops.trace_stereo(
+        *args, mode_right=True, settings=SET, backend="pallas"
+    )
+    st_x = np.asarray(rx.status)
+    st_p = np.asarray(rp.status)
+    assert (st_x == st_p).mean() > 0.9, (st_x, st_p)
+    both_good = (st_x == trace_ops.IPS_GOOD) & (st_p == trace_ops.IPS_GOOD)
+    assert both_good.sum() > 10
+    du = np.abs(np.asarray(rx.last_uv[:, 0]) - np.asarray(rp.last_uv[:, 0]))
+    assert np.median(du[both_good]) < 0.1, np.median(du[both_good])
+    did = np.abs(np.asarray(idx_x) - np.asarray(idx_p))[both_good]
+    rel = did / np.maximum(np.abs(np.asarray(idx_x))[both_good], 1e-3)
+    assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_trace_compaction_overflow_keeps_rows():
+    """When live rows exceed trace_cap, overflow rows must keep their state
+    (no corruption) while in-budget rows trace normally."""
+    import dataclasses as _dc
+
+    from stereo_dso_g2o_tpu.frontend import immature as IMM
+
+    scene = synthetic.default_scene(5)
+    w, h = 192, 96
+    K = synthetic.default_K(w, h)
+    left0, _, idepth0 = synthetic.render_stereo_pair(scene, K, w, h, 0.2)
+    T = np.eye(4)
+    T[:3, 3] = [0.1, 0.02, 0.05]
+    left1, _ = synthetic.render(scene, K, w, h, T)
+    dIp0, _ = build_pyramid(jnp.asarray(left0), 3)
+    dIp1, _ = build_pyramid(jnp.asarray(left1), 3)
+
+    F, C = 2, 64
+    imm = IMM.empty(F, C)
+    us, vs = _grid_points(w, h, margin=20, step=6)
+    assert len(us) >= F * C
+    us, vs = us[: F * C], vs[: F * C]
+    for f in range(F):
+        seg = slice(f * C, (f + 1) * C)
+        color, weights, gradH, eth = trace_ops.extract_point_data(
+            dIp0[0], jnp.asarray(us[seg]), jnp.asarray(vs[seg]), SET
+        )
+        imm = imm.replace(
+            valid=imm.valid.at[f].set(True),
+            u=imm.u.at[f].set(jnp.asarray(us[seg])),
+            v=imm.v.at[f].set(jnp.asarray(vs[seg])),
+            color=imm.color.at[f].set(color),
+            weights=imm.weights.at[f].set(weights),
+            gradH=imm.gradH.at[f].set(gradH),
+            energy_th=imm.energy_th.at[f].set(eth),
+        )
+    Kj = jnp.asarray(K, jnp.float32)
+    KRKi = Kj @ jnp.asarray(T[:3, :3], jnp.float32) @ jnp.linalg.inv(Kj)
+    Kt = Kj @ jnp.asarray(T[:3, 3], jnp.float32)
+    KRKi_f = jnp.broadcast_to(KRKi, (F, 3, 3))
+    Kt_f = jnp.broadcast_to(Kt, (F, 3))
+    aff = jnp.broadcast_to(jnp.asarray([1.0, 0.0], jnp.float32), (F, 2))
+    hv = jnp.ones((F,), bool)
+
+    full = IMM.trace_on_frame(imm, KRKi_f, Kt_f, aff, dIp1[0], hv, SET)
+    tight = _dc.replace(SET, trace_cap=96)  # < 128 live rows
+    part = IMM.trace_on_frame(imm, KRKi_f, Kt_f, aff, dIp1[0], hv, tight)
+
+    st_full = np.asarray(full.status).reshape(-1)
+    st_part = np.asarray(part.status).reshape(-1)
+    # first 96 live rows must match the untruncated result exactly
+    assert (st_part[:96] == st_full[:96]).all()
+    # overflow rows must be untouched (still UNINITIALIZED, intervals intact)
+    assert (st_part[96:] == trace_ops.IPS_UNINITIALIZED).all()
+    assert np.isnan(np.asarray(part.idepth_max).reshape(-1)[96:]).all()
