@@ -141,13 +141,10 @@ def main():
 
         from stereo_dso_g2o_tpu.frontend.graph_system import frame_auto
 
-        tries, aff_last, _ = gs._tries()
         lowered = frame_auto.lower(
             gs.state, jnp.zeros((H_, W_), jnp.uint8),
             jnp.zeros((H_, W_), jnp.uint8),
-            calib.c, calib.baseline,
-            jnp.asarray(tries, jnp.float32),
-            jnp.asarray(aff_last, jnp.float32), jnp.float32(1.0),
+            calib.c, calib.baseline, jnp.float32(1.0),
             settings=settings, n_levels=6, n_tries=5, pot=gs.pot,
             caps=gs.caps, w0=W_, h0=H_, imm_cap=settings.immature_cap,
         )

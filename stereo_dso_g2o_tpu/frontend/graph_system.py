@@ -74,6 +74,9 @@ class GraphState(NamedTuple):
     min_act_dist: jax.Array  # () activation distance controller
     next_kf_id: jax.Array  # () int32
     salt: jax.Array  # () int32 selector randomization counter
+    last_c2w: jax.Array  # (4, 4) camToWorld of the previous frame
+    prev_c2w: jax.Array  # (4, 4) camToWorld of the frame before that
+    last_aff: jax.Array  # (2,) previous frame's affine estimate
 
 
 class FrameBundle(NamedTuple):
@@ -196,6 +199,39 @@ def _free_slot(win: W.Window):
     return jnp.argmin(win.frame_valid.astype(jnp.int32)).astype(jnp.int32)
 
 
+def _rigid_inv(T):
+    """SE(3) inverse without a linear solve."""
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    return Ti.at[:3, 3].set(-R.T @ t)
+
+
+def motion_tries(last_c2w, prev_c2w, ref_c2w, dtype=jnp.float32):
+    """The 5 pose hypotheses lastF->fh, traced (FullSystem.cpp:349-377):
+    constant motion, double, half, last-frame pose, zero-from-KF."""
+    from stereo_dso_g2o_tpu.utils import se3
+
+    slast_2_sprelast = _rigid_inv(prev_c2w) @ last_c2w
+    lastF_2_slast = _rigid_inv(last_c2w) @ ref_c2w
+    fh_2_slast = slast_2_sprelast  # constant velocity
+    fh_inv = _rigid_inv(fh_2_slast)
+    half = se3.se3_exp(0.5 * se3.se3_log(fh_2_slast))
+    tries = jnp.stack(
+        [
+            fh_inv @ lastF_2_slast,
+            fh_inv @ fh_inv @ lastF_2_slast,
+            _rigid_inv(half) @ lastF_2_slast,
+            lastF_2_slast,
+            jnp.eye(4, dtype=dtype),
+        ]
+    ).astype(dtype)
+    # non-finite guards (uninitialized history): fall back to identity
+    ok = jnp.isfinite(tries).all(axis=(1, 2), keepdims=True)
+    return jnp.where(ok, tries, jnp.eye(4, dtype=dtype))
+
+
 def _update_min_act_dist(min_act_dist, n_active, density):
     """The activation distance controller (FullSystem.cpp:808-824)."""
     d = density
@@ -229,8 +265,6 @@ def frame_auto(
     right,
     calib_c,
     baseline,
-    T_tries,  # (n_tries, 4, 4)
-    aff_init,  # (2,)
     new_exposure,  # ()
     settings: Settings = default_settings(),
     n_levels: int = 6,
@@ -241,7 +275,12 @@ def frame_auto(
     h0: int = 0,
     imm_cap: int = 2048,
 ):
-    """One full frame — track + (cond) the whole keyframe pipeline."""
+    """One full frame — track + (cond) the whole keyframe pipeline.
+
+    Pose hypotheses (constant-velocity motion model, FullSystem.cpp:349-377)
+    and the affine init come from GraphState, so the host never has to fetch
+    the previous frame's result before dispatching the next: results drain
+    asynchronously a few frames behind while the device pipeline runs ahead."""
     s = settings
     F = state.win.F
     calib = Calib(
@@ -250,6 +289,11 @@ def frame_auto(
         w=tuple(w0 >> l for l in range(n_levels)),
         h=tuple(h0 >> l for l in range(n_levels)),
     )
+
+    w2c_pre0 = state.win.w2c()
+    ref_c2w = _rigid_inv(w2c_pre0[state.ref_slot])
+    T_tries = motion_tries(state.last_c2w, state.prev_c2w, ref_c2w)[:n_tries]
+    aff_init = state.last_aff
 
     last_rmse = jnp.where(
         jnp.isfinite(state.last_rmse0), state.last_rmse0, 1e30
@@ -284,7 +328,10 @@ def frame_auto(
 
     def non_kf(_):
         st = state._replace(
-            imm=imm_spec, last_rmse0=new_last, first_rmse=new_first
+            imm=imm_spec, last_rmse0=new_last, first_rmse=new_first,
+            last_c2w=_rigid_inv(T_best @ w2c_pre0[state.ref_slot]),
+            prev_c2w=state.last_c2w,
+            last_aff=aff_best,
         )
         bundle = FrameBundle(
             T=T_best, aff=aff_best, residuals=track.residuals, flow=flow,
@@ -424,6 +471,9 @@ def frame_auto(
             min_act_dist=mad,
             next_kf_id=(kf_id + 1).astype(state.next_kf_id.dtype),
             salt=(state.salt + 1).astype(state.salt.dtype),
+            last_c2w=_rigid_inv(w2c_post[slot]),
+            prev_c2w=state.last_c2w,
+            last_aff=aff_all[slot].astype(state.last_aff.dtype),
         )
         bundle = FrameBundle(
             T=T_best, aff=aff_best, residuals=track.residuals, flow=flow,
@@ -495,7 +545,7 @@ class GraphSystem:
         self.pot = pot
         self.caps = tuple(level_caps(calib))
         self.is_lost = False
-        self._pending = None  # (bundle, shell) awaiting fetch
+        self._pending_q = []  # [(FrameBundle (device), frame_id, ts), ...]
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -529,6 +579,13 @@ class GraphSystem:
             min_act_dist=jnp.asarray(fs.current_min_act_dist, jnp.float32),
             next_kf_id=jnp.asarray(fs.next_kf_id, jnp.int32),
             salt=jnp.asarray(1000 * (1 + len(fs.kf_shells)), jnp.int32),
+            last_c2w=jnp.asarray(
+                fs._shell_T_cw(fs.history[-1]), jnp.float32
+            ),
+            prev_c2w=jnp.asarray(
+                fs._shell_T_cw(fs.history[-2]), jnp.float32
+            ),
+            last_aff=jnp.asarray(fs.history[-1].aff, jnp.float32),
         )
         history = [
             GraphShell(sh.id, sh.timestamp, sh.T_cam_to_ref, sh.ref_kf_id,
@@ -545,39 +602,21 @@ class GraphSystem:
         return gs
 
     # -- stepping ----------------------------------------------------------
-    def _tries(self):
-        """Pose hypotheses + affine init for the incoming frame (host)."""
-        from stereo_dso_g2o_tpu.frontend.coarse_tracker import (
-            motion_model_tries, rotation_ladder,
-        )
-
-        ref_kf_id = self.slot_frame_id_of_ref()
-        if len(self.history) >= 3:
-            sl = self.history[-1]
-            spl = self.history[-2]
-            tries = motion_model_tries(
-                self._shell_T_cw(spl), self._shell_T_cw(sl),
-                self.kf_shells[ref_kf_id].T_cw,
-            )
-            aff_last = sl.aff.copy()
-        else:
-            tries = [np.eye(4)] + rotation_ladder()[:4]
-            aff_last = np.zeros(2)
-        while len(tries) < 5:
-            tries.append(np.eye(4))
-        return np.stack(tries[:5]), aff_last, ref_kf_id
+    #
+    # Pose hypotheses and the affine init live in GraphState (motion model in-
+    # graph), so dispatching frame i+1 never waits on frame i's result: the
+    # small FrameBundle fetch drains `fetch_lag` frames behind the dispatch
+    # front and the device pipeline runs ahead, hiding dispatch latency
+    # entirely in steady state.
+    fetch_lag = 2
 
     def add_frame(self, left, right, frame_id: int, timestamp: float = 0.0,
                   exposure: float = 1.0):
         s = self.settings
-        tries, aff_last, ref_kf_id = self._tries()
-
         state, bundle = frame_auto(
             self.state,
             jnp.asarray(left), jnp.asarray(right),
             self.calib.c, self.calib.baseline,
-            jnp.asarray(tries, jnp.float32),
-            jnp.asarray(aff_last, jnp.float32),
             jnp.float32(exposure),
             settings=s, n_levels=self.calib.n_levels, n_tries=5,
             pot=self.pot, caps=self.caps,
@@ -585,10 +624,23 @@ class GraphSystem:
             imm_cap=s.immature_cap,
         )
         self.state = state
+        self._pending_q.append((bundle, frame_id, timestamp))
+        drained = None
+        while len(self._pending_q) > self.fetch_lag:
+            drained = self._drain_one()
+        return drained
 
+    def _drain_one(self):
+        bundle, frame_id, timestamp = self._pending_q.pop(0)
         b = jax.device_get(bundle)
+        ref_kf_id = len(self.kf_shells) - 1
         self.apply_bundle(b, frame_id, timestamp, ref_kf_id)
         return b
+
+    def flush(self):
+        """Drain all pending frame results into the host bookkeeping."""
+        while self._pending_q:
+            self._drain_one()
 
     def apply_bundle(self, b, frame_id: int, timestamp: float,
                      ref_kf_id: int):
@@ -647,4 +699,5 @@ class GraphSystem:
         return self.kf_shells[shell.ref_kf_id].T_cw @ shell.T_cam_to_ref
 
     def trajectory(self):
+        self.flush()
         return [self._shell_T_cw(sh) for sh in self.history]

@@ -42,8 +42,6 @@ def frame_auto_batched(
     rights,
     calib_cs,  # (N, 4)
     baselines,  # (N,)
-    T_tries,  # (N, n_tries, 4, 4)
-    aff_inits,  # (N, 2)
     exposures,  # (N,)
     settings: Settings = default_settings(),
     n_levels: int = 6,
@@ -54,16 +52,15 @@ def frame_auto_batched(
     h0: int = 0,
     imm_cap: int = 2048,
 ):
-    def one(state, left, right, cc, bl, tries, aff, expo):
+    def one(state, left, right, cc, bl, expo):
         return frame_auto(
-            state, left, right, cc, bl, tries, aff, expo,
+            state, left, right, cc, bl, expo,
             settings=settings, n_levels=n_levels, n_tries=n_tries,
             pot=pot, caps=caps, w0=w0, h0=h0, imm_cap=imm_cap,
         )
 
     return jax.vmap(one)(
-        states, lefts, rights, calib_cs, baselines, T_tries, aff_inits,
-        exposures,
+        states, lefts, rights, calib_cs, baselines, exposures,
     )
 
 
@@ -89,6 +86,7 @@ class BatchedRunner:
         self.states = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[gs.state for gs in systems]
         )
+        self._pending_q = []
         self.calib_cs = jnp.stack([jnp.asarray(gs.calib.c) for gs in systems])
         self.baselines = jnp.stack(
             [jnp.asarray(gs.calib.baseline, jnp.float32) for gs in systems]
@@ -97,19 +95,16 @@ class BatchedRunner:
     def __len__(self):
         return len(self.systems)
 
+    fetch_lag = 2  # frames the bundle fetch trails the dispatch front
+
     def add_frames(self, frames, frame_id: int, timestamp: float = 0.0,
                    exposures: Optional[Sequence[float]] = None):
-        """frames: list of (left, right) per sequence. One device dispatch."""
+        """frames: list of (left, right) per sequence. One device dispatch;
+        results drain `fetch_lag` frames behind (motion model is in-graph)."""
         n = len(self.systems)
         assert len(frames) == n
         if exposures is None:
             exposures = [1.0] * n
-        tries_l, affs_l, refs = [], [], []
-        for gs in self.systems:
-            t, a, r = gs._tries()
-            tries_l.append(t)
-            affs_l.append(a)
-            refs.append(r)
 
         states, bundles = frame_auto_batched(
             self.states,
@@ -117,8 +112,6 @@ class BatchedRunner:
             jnp.asarray(np.stack([f[1] for f in frames])),
             self.calib_cs,
             self.baselines,
-            jnp.asarray(np.stack(tries_l), jnp.float32),
-            jnp.asarray(np.stack(affs_l), jnp.float32),
             jnp.asarray(np.asarray(exposures), jnp.float32),
             settings=self.settings,
             n_levels=self.calib.n_levels,
@@ -130,12 +123,20 @@ class BatchedRunner:
             imm_cap=self.settings.immature_cap,
         )
         self.states = states
+        self._pending_q.append((bundles, frame_id, timestamp))
+        drained = None
+        while len(self._pending_q) > self.fetch_lag:
+            drained = self._drain_one()
+        return drained
 
+    def _drain_one(self):
+        bundles, frame_id, timestamp = self._pending_q.pop(0)
         b_all = jax.device_get(bundles)
         sel_yields = []
         for k, gs in enumerate(self.systems):
             bk = jax.tree.map(lambda x: x[k], b_all)
-            gs.apply_bundle(bk, frame_id, timestamp, refs[k])
+            gs.apply_bundle(bk, frame_id, timestamp,
+                            len(gs.kf_shells) - 1)
             if bool(bk.need_kf):
                 sel_yields.append(float(bk.sel_num))
         # shared selector-potential adaptation from the mean KF yield
@@ -153,5 +154,10 @@ class BatchedRunner:
                 self.pot = max(ideal, 1)
         return b_all
 
+    def flush(self):
+        while self._pending_q:
+            self._drain_one()
+
     def trajectories(self):
+        self.flush()
         return [gs.trajectory() for gs in self.systems]
