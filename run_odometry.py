@@ -156,11 +156,21 @@ def main(argv):
 
         accum = CloudAccumulator()
 
+    def frames():
+        """Frame stream: native C++ prefetch (decode + remap + photometric on
+        worker threads) unless disabled via prefetch=0 or start/maxframes
+        windowing needs random access."""
+        if args.get("prefetch", "1") == "1" and start == 0 and n == len(ds):
+            for i, item in enumerate(ds.prefetch()):
+                yield (i, *item)
+        else:
+            for i in range(start, n):
+                yield (i, *ds.get(i))
+
     t0 = time.perf_counter()
     n_done = 0
     n_kfs_seen = 0
-    for i in range(start, n):
-        left, right, ts, exp = ds.get(i)
+    for i, left, right, ts, exp in frames():
         fs.add_frame(left, right, i, timestamp=ts, exposure=exp)
         n_done += 1
         if wrapper and fs.history:

@@ -118,9 +118,10 @@ class CoarseTracker:
         T = jnp.asarray(T_init, dtype=jnp.float32)
         aff = jnp.asarray(aff_init, dtype=jnp.float32)
 
+        # the cutoff-repeat machinery (legacy :891-906, :1036-1041) runs
+        # inside lm_level's graph — one dispatch per level
         have_repeated = False
-        lvl = coarsest_lvl
-        while lvl >= 0:
+        for lvl in range(coarsest_lvl, -1, -1):
             K_lvl = jnp.stack(
                 [
                     self.calib.fx(lvl),
@@ -130,32 +131,24 @@ class CoarseTracker:
                 ]
             )
             pc_u, pc_v, pc_id, pc_color, pc_ok = self.ref[lvl]
-
-            # cutoff-repeat: ensure <60% saturated (legacy, :897-906)
-            cutoff_repeat = 1.0
-            while True:
-                out = tracker_ops.lm_level(
-                    pc_u,
-                    pc_v,
-                    pc_id,
-                    pc_color,
-                    pc_ok,
-                    dI_new_pyr[lvl],
-                    K_lvl,
-                    T,
-                    aff,
-                    self.ref_aff,
-                    jnp.float32(self.ref_exposure),
-                    jnp.float32(new_exposure),
-                    jnp.float32(cutoff_repeat),
-                    settings=s,
-                    max_iterations=MAX_ITERATIONS[min(lvl, len(MAX_ITERATIONS) - 1)],
-                )
-                sat = float(out.sat_frac)
-                if sat > 0.6 and cutoff_repeat < 50:
-                    cutoff_repeat *= 2.0
-                    continue
-                break
+            out = tracker_ops.lm_level(
+                pc_u,
+                pc_v,
+                pc_id,
+                pc_color,
+                pc_ok,
+                dI_new_pyr[lvl],
+                K_lvl,
+                T,
+                aff,
+                self.ref_aff,
+                jnp.float32(self.ref_exposure),
+                jnp.float32(new_exposure),
+                jnp.asarray(have_repeated),
+                settings=s,
+                max_iterations=MAX_ITERATIONS[min(lvl, len(MAX_ITERATIONS) - 1)],
+            )
+            have_repeated = have_repeated or bool(out.repeated)
 
             T_new, aff_new = out.T, out.aff
             res = float(out.res_per_point)
@@ -169,11 +162,6 @@ class CoarseTracker:
                 return TrackResult(False, np.asarray(T), np.asarray(aff), residuals, flow)
 
             T, aff = T_new, aff_new
-
-            if cutoff_repeat > 1.0 and not have_repeated:
-                have_repeated = True
-                continue  # repeat this level (:1060-1064)
-            lvl -= 1
 
         aff_np = np.asarray(aff, dtype=np.float64)
         # affine sanity gates (:1075-1095)

@@ -63,10 +63,8 @@ def track_cascade(
 ) -> TrackOut:
     """In-graph trackNewestCoarse: the per-level LM cascade with abort and
     affine sanity gates expressed as carried flags (no host branching).
-
-    Deviation from the host path: the cutoff-repeat loop (legacy :897-906)
-    is not replayed in-graph; the caller can inspect sat_frac0 and rerun the
-    host path for the rare >60% saturation case.
+    The cutoff-repeat machinery (legacy :891-906, :1036-1041) runs inside
+    `lm_level` itself, so the >60%-saturation case needs no host fallback.
     """
     from stereo_dso_g2o_tpu.frontend.coarse_tracker import MAX_ITERATIONS
 
@@ -78,15 +76,17 @@ def track_cascade(
     residuals = jnp.full((n_levels,), jnp.nan, jnp.float32)
     flow = jnp.asarray([100.0, 0.0, 100.0], jnp.float32)
     sat0 = jnp.asarray(0.0, jnp.float32)
+    have_repeated = jnp.asarray(False)
 
     for lvl in range(n_levels - 1, -1, -1):
         pc_u, pc_v, pc_id, pc_color, pc_ok = ref[lvl]
         out = tracker_ops.lm_level(
             pc_u, pc_v, pc_id, pc_color, pc_ok, dI_new_pyr[lvl], Ks[lvl],
             T, aff, ref_aff, ref_exposure, new_exposure,
-            jnp.float32(1.0), settings=settings,
+            have_repeated, settings=settings,
             max_iterations=MAX_ITERATIONS[min(lvl, len(MAX_ITERATIONS) - 1)],
         )
+        have_repeated = have_repeated | out.repeated
         res = out.res_per_point
         lvl_ok = jnp.isfinite(res) & (res <= 1.5 * min_res_for_abort[lvl])
         T = jnp.where(ok & lvl_ok, out.T, T)

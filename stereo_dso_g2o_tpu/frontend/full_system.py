@@ -223,8 +223,9 @@ class FullSystem:
     def _track_frame(self, left_dev, right_dev, frame_id, timestamp, exposure):
         """Fused fast path: ONE device program tracks the frame (and runs the
         non-keyframe depth refinement speculatively); the host syncs once on a
-        small scalar bundle. The multi-hypothesis ladder and the cutoff-repeat
-        path fall back to the per-level host cascade (rare)."""
+        small scalar bundle. The cutoff-repeat machinery runs in-graph inside
+        the per-level LM; only a genuinely failed track (still saturated at
+        the raised cutoff, or non-finite) falls back to the host cascade."""
         from stereo_dso_g2o_tpu.frontend import frame_step as FS
 
         s = self.settings

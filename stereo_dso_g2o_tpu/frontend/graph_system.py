@@ -32,9 +32,9 @@ Host-side deviations from the reference, by design:
   adapted from the PREVIOUS keyframe's yield (stale-by-one adaptation) plus
   the same in-graph random thinning. The host still adapts the potential
   between keyframes from the fetched yield.
-- The >60%-saturation cutoff-repeat re-track stays unhandled in-graph (the
-  fused step already contains the retry ladder); the saturation fraction is
-  returned so a host caller may fall back (FullSystem has that path).
+- The >60%-saturation cutoff-repeat (legacy CoarseTracker.cpp:891-906,
+  :1036-1041) runs in-graph inside the per-level LM (ops/tracker_ops.lm_level);
+  the returned saturation fraction is at the final (possibly raised) cutoff.
 - Initialization (first keyframes, mono/stereo bootstrap) stays on the
   host FullSystem; `GraphSystem.from_full_system` freezes a warmed system
   into graph state.

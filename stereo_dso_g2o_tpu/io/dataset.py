@@ -6,12 +6,18 @@ image files from `image_0` (left) / `image_1` (right) folders, reads
 loadTimestamps:229-292), applies geometric + photometric undistortion, and
 crops to pyramid-friendly dimensions (multiples of 2^(levels-1); the
 reference instead warns and degrades the pyramid depth, globalCalib.cpp:50-60).
+
+Zip archives are supported like the reference's libzip path
+(DatasetReader.h:129-166): pass a `.zip` containing image_0/ + image_1/
+(+ optional times.txt) as `seq_dir`; members are decoded from memory.
 """
 
 from __future__ import annotations
 
 import glob
+import io as _io
 import os
+import zipfile
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -24,7 +30,8 @@ from stereo_dso_g2o_tpu.models.undistort import (
 )
 
 
-def _load_gray(path: str) -> np.ndarray:
+def _load_gray(path) -> np.ndarray:
+    """Decode an 8/16-bit PNG/JPG (path or file-like) to float32 grayscale."""
     from PIL import Image
 
     img = Image.open(path)
@@ -57,22 +64,48 @@ class StereoDataset:
         vignette_file: Optional[str] = None,
         n_levels: int = 6,
     ):
-        self.left_files = sorted(
-            glob.glob(os.path.join(seq_dir, "image_0", "*.png"))
-            + glob.glob(os.path.join(seq_dir, "image_0", "*.jpg"))
-        )
-        self.right_files = sorted(
-            glob.glob(os.path.join(seq_dir, "image_1", "*.png"))
-            + glob.glob(os.path.join(seq_dir, "image_1", "*.jpg"))
-        )
+        self._zip: Optional[zipfile.ZipFile] = None
+        if os.path.isfile(seq_dir) and seq_dir.endswith(".zip"):
+            # zip-archive mode (DatasetReader.h:129-166): image folders and
+            # times.txt live inside the archive, possibly under a prefix dir
+            self._zip = zipfile.ZipFile(seq_dir)
+            names = self._zip.namelist()
+
+            def members(sub):
+                return sorted(
+                    n for n in names
+                    if f"image_{sub}/" in n
+                    and n.lower().endswith((".png", ".jpg"))
+                )
+
+            self.left_files = members(0)
+            self.right_files = members(1)
+            times_members = [n for n in names if n.endswith("times.txt")]
+            times_text = (
+                self._zip.read(times_members[0]).decode()
+                if times_members else None
+            )
+        else:
+            self.left_files = sorted(
+                glob.glob(os.path.join(seq_dir, "image_0", "*.png"))
+                + glob.glob(os.path.join(seq_dir, "image_0", "*.jpg"))
+            )
+            self.right_files = sorted(
+                glob.glob(os.path.join(seq_dir, "image_1", "*.png"))
+                + glob.glob(os.path.join(seq_dir, "image_1", "*.jpg"))
+            )
+            times_path = os.path.join(seq_dir, "times.txt")
+            times_text = (
+                open(times_path).read() if os.path.exists(times_path) else None
+            )
         assert len(self.left_files) == len(self.right_files), "stereo mismatch"
         assert self.left_files, f"no images in {seq_dir}"
 
         self.timestamps, self.exposures = self._load_times(
-            os.path.join(seq_dir, "times.txt"), len(self.left_files)
+            times_text, len(self.left_files)
         )
 
-        sample = _load_gray(self.left_files[0])
+        sample = self._read(self.left_files[0])
         h_org, w_org = sample.shape
 
         self.undistorter: Optional[Undistorter] = None
@@ -101,12 +134,17 @@ class StereoDataset:
             gamma_file, vignette_file, self.crop_w, self.crop_h
         )
 
+    def _read(self, name: str) -> np.ndarray:
+        if self._zip is not None:
+            return _load_gray(_io.BytesIO(self._zip.read(name)))
+        return _load_gray(name)
+
     @staticmethod
-    def _load_times(path: str, n: int):
-        if not os.path.exists(path):
+    def _load_times(text: Optional[str], n: int):
+        if text is None:
             return np.arange(n) * 0.1, np.ones(n, np.float32)
         rows = []
-        for line in open(path):
+        for line in text.splitlines():
             vals = line.split()
             if not vals:
                 continue
@@ -129,8 +167,8 @@ class StereoDataset:
     def get(self, i: int):
         """Returns (left, right, timestamp, exposure) — float32 HxW arrays,
         undistorted, photometrically corrected, cropped."""
-        left = _load_gray(self.left_files[i])
-        right = _load_gray(self.right_files[i])
+        left = self._read(self.left_files[i])
+        right = self._read(self.right_files[i])
         if self.undistorter is not None:
             left = np.asarray(self.undistorter.undistort(left))
             right = np.asarray(self.undistorter.undistort(right))
@@ -141,3 +179,59 @@ class StereoDataset:
             self.photometric(right[: self.crop_h, : self.crop_w])
         )
         return left, right, float(self.timestamps[i]), float(self.exposures[i])
+
+    # -- native prefetch ----------------------------------------------------
+    def prefetch(self, n_workers: int = 3, capacity: int = 8):
+        """Iterate (left, right, timestamp, exposure) with decode + remap +
+        photometric correction running on native C++ worker threads
+        (runtime/native_loader; reference analog: DatasetReader::getImage on
+        the playback thread overlapped via IndexThreadReduce-style workers).
+        Falls back to the Python path for zip sources or if the native
+        library cannot build."""
+        from stereo_dso_g2o_tpu.runtime import native_loader as NL
+
+        if self._zip is not None or not NL.available():
+            for i in range(len(self)):
+                yield self.get(i)
+            return
+
+        remap_x = remap_y = None
+        if self.undistorter is not None and not self.undistorter.passthrough:
+            ok = np.asarray(self.undistorter.remap_ok)[
+                : self.crop_h, : self.crop_w
+            ]
+            remap_x = np.where(
+                ok,
+                np.asarray(self.undistorter.remap_x)[
+                    : self.crop_h, : self.crop_w
+                ],
+                -1.0,
+            ).astype(np.float32)
+            remap_y = np.where(
+                ok,
+                np.asarray(self.undistorter.remap_y)[
+                    : self.crop_h, : self.crop_w
+                ],
+                -1.0,
+            ).astype(np.float32)
+        gamma = (
+            np.asarray(self.photometric.G)
+            if self.photometric.G is not None else None
+        )
+        vig_inv = (
+            1.0 / np.asarray(self.photometric.V)
+            if self.photometric.V is not None else None
+        )
+        loader = NL.NativeStereoLoader(
+            self.left_files, self.right_files, self.crop_w, self.crop_h,
+            remap_x=remap_x, remap_y=remap_y, gamma=gamma,
+            vignette_inv=vig_inv, n_workers=n_workers, capacity=capacity,
+        )
+        try:
+            for idx, left, right in loader:
+                yield (
+                    left, right,
+                    float(self.timestamps[idx]), float(self.exposures[idx]),
+                )
+        finally:
+            loader.close()

@@ -177,7 +177,8 @@ class ResStats(NamedTuple):
     flow_t: jax.Array  # () translation-only flow indicator
     flow_rt: jax.Array  # () translation+rotation flow indicator
     # warped buffers for calc_gs (masked by buf_ok)
-    buf_ok: jax.Array  # (N,)
+    buf_ok: jax.Array  # (N,) in-bounds AND below the cutoff ("good")
+    buf_inb: jax.Array  # (N,) in-bounds regardless of saturation
     buf_idepth: jax.Array
     buf_u: jax.Array
     buf_v: jax.Array
@@ -308,6 +309,7 @@ def calc_res(
         flow_t=flow_t,
         flow_rt=flow_rt,
         buf_ok=good,
+        buf_inb=inb,
         buf_idepth=new_idepth,
         buf_u=u_n,
         buf_v=v_n,
@@ -378,7 +380,8 @@ class LevelResult(NamedTuple):
     flow_t: jax.Array
     flow_rt: jax.Array
     num_terms: jax.Array
-    sat_frac: jax.Array
+    sat_frac: jax.Array  # () final saturation fraction at the FINAL cutoff
+    repeated: jax.Array  # () bool: this level ran the cutoff-repeat pass
 
 
 def _aff_transfer(ref_exposure, new_exposure, ref_aff, new_aff):
@@ -386,6 +389,36 @@ def _aff_transfer(ref_exposure, new_exposure, ref_aff, new_aff):
     a = jnp.exp(new_aff[0] - ref_aff[0]) * new_exposure / ref_exposure
     b = new_aff[1] - a * ref_aff[1]
     return jnp.stack([a, b])
+
+
+def _cutoff_rep_of(ar, inb, settings: Settings):
+    """The while-doubling of levelCutoffRepeat (legacy :897-906), closed form
+    from one residual evaluation: saturation at repeat r depends only on the
+    per-point |residual| (ar) and the in-bounds mask, both cutoff-independent.
+    Doubles while sat > 0.6 and rep < 50 (so rep in {1,2,...,64})."""
+    n = jnp.maximum(jnp.sum(inb), 1)
+    rep = jnp.asarray(1.0, jnp.float32)
+    for _ in range(7):
+        sat = jnp.sum(inb & (ar > settings.coarse_cutoff_th * rep)) / n
+        rep = jnp.where((sat > 0.6) & (rep < 50.0), rep * 2.0, rep)
+    return rep
+
+
+def _energy_at_cutoff(ar, inb, cutoff, settings: Settings):
+    """Recompute (energy, num_terms, sat_frac) at a new cutoff from carried
+    per-point |residual| + in-bounds buffers (calcRes energy semantics)."""
+    hw = jnp.where(
+        ar < settings.huber_th, 1.0,
+        settings.huber_th / jnp.maximum(ar, 1e-12),
+    )
+    saturated = inb & (ar > cutoff)
+    good = inb & ~saturated
+    max_energy = 2.0 * settings.huber_th * cutoff - settings.huber_th**2
+    e = jnp.where(
+        good, hw * ar * ar * (2.0 - hw), jnp.where(saturated, max_energy, 0.0)
+    )
+    n = jnp.sum(inb)
+    return jnp.sum(e), n, jnp.sum(saturated) / jnp.maximum(n, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "max_iterations"))
@@ -402,23 +435,44 @@ def lm_level(
     ref_aff,
     ref_exposure,
     new_exposure,
-    cutoff_repeat,
+    have_repeated,  # () bool: a cutoff-repeat already ran this cascade
     settings: Settings = default_settings(),
     max_iterations: int = 10,
 ) -> LevelResult:
-    """One pyramid level of the tracker's LM (legacy loop, :930-1038)."""
-    cutoff = settings.coarse_cutoff_th * cutoff_repeat
+    """One pyramid level of the tracker's LM (legacy loop, :930-1038),
+    including the cutoff-repeat machinery IN-GRAPH:
+
+    - the initial while-doubling of levelCutoffRepeat (:891-906) runs as a
+      closed-form computation on one probe evaluation;
+    - the one-shot level repeat (:1036-1041: rerun the level with the repeat
+      re-derived at the refined pose) is folded into the same lax.while_loop
+      (iteration counter + lambda reset, energy re-based at the new cutoff).
+      Deviation: the first step of the repeat pass reuses the H/b assembled
+      at the previous cutoff (one slightly stale GN direction); the reference
+      rebuilds them before stepping. Both are GN approximations and the
+      accept test runs at the new cutoff either way.
+    """
+    s = settings
     lambda_extrap_limit = 0.001
 
-    def res_of(T, aff, compute_flow=False):
+    def res_of(T, aff, cutoff, compute_flow=False):
         ab = _aff_transfer(ref_exposure, new_exposure, ref_aff, aff)
         return calc_res(
             pc_u, pc_v, pc_idepth, pc_color, pc_ok, dI_new, K_lvl, T, ab,
             cutoff, settings=settings, compute_flow=compute_flow,
         ), ab
 
-    stats0, ab0 = res_of(T_init, aff_init)
+    # probe at an effectively-infinite cutoff: buf_ok == in-bounds mask, and
+    # |residual| is cutoff-independent -> derive the repeat + masks from it
+    stats_p, ab0 = res_of(T_init, aff_init, jnp.asarray(1e30, jnp.float32))
+    ar0 = jnp.abs(stats_p.buf_residual)
+    inb0 = stats_p.buf_inb
+    rep0 = _cutoff_rep_of(ar0, inb0, s)
+    cutoff0 = s.coarse_cutoff_th * rep0
+    stats0 = stats_p._replace(buf_ok=inb0 & (ar0 <= cutoff0))
+    E0, n0, _ = _energy_at_cutoff(ar0, inb0, cutoff0, s)
     H0, b0v = calc_gs(stats0, K_lvl, ab0[0], ref_aff[1])
+    rep_pending0 = (rep0 > 1.0) & ~have_repeated
 
     opt_a = settings.affine_opt_mode_a >= 0
     opt_b = settings.affine_opt_mode_b >= 0
@@ -457,15 +511,15 @@ def lm_level(
         return jnp.where(jnp.isfinite(inc_scaled).all(), inc_scaled, 0.0), inc
 
     def cond(carry):
-        it, T, aff, E_old, n_old, lam, Hm, bv, done = carry
-        return (~done) & (it < max_iterations)
+        return ~carry[-1]
 
     def body(carry):
-        it, T, aff, E_old, n_old, lam, Hm, bv, done = carry
+        (it, total, T, aff, E_old, n_old, lam, Hm, bv, cutoff, ar, inb,
+         rep_pending, done_all) = carry
         inc_scaled, inc_raw = solve(Hm, bv, lam)
         T_new = se3.se3_exp(inc_scaled[:6]) @ T
         aff_new = aff + inc_scaled[6:8]
-        stats_new, ab_new = res_of(T_new, aff_new)
+        stats_new, ab_new = res_of(T_new, aff_new, cutoff)
         accept = (stats_new.energy / jnp.maximum(stats_new.num_terms, 1)) < (
             E_old / jnp.maximum(n_old, 1)
         )
@@ -480,23 +534,50 @@ def lm_level(
         lam_out = jnp.where(
             accept, lam * 0.5, jnp.maximum(lam * 4.0, lambda_extrap_limit)
         )
-        done_out = jnp.linalg.norm(inc_raw) <= 1e-3
-        return (it + 1, T_out, aff_out, E_out, n_out, lam_out, H_out, b_out, done_out)
+        ar_out = jnp.where(accept, jnp.abs(stats_new.buf_residual), ar)
+        inb_out = jnp.where(accept, stats_new.buf_inb, inb)
+
+        it1 = it + 1
+        pass_end = (jnp.linalg.norm(inc_raw) <= 1e-3) | (it1 >= max_iterations)
+        do_rep = pass_end & rep_pending
+        # repeat transition (:1036-1041): re-derive the repeat at the refined
+        # pose, re-base the energy at the new cutoff, reset iteration + lambda
+        rep2 = _cutoff_rep_of(ar_out, inb_out, s)
+        cutoff2 = s.coarse_cutoff_th * rep2
+        E2, n2, _ = _energy_at_cutoff(ar_out, inb_out, cutoff2, s)
+        it_out = jnp.where(do_rep, 0, it1)
+        lam_out = jnp.where(do_rep, jnp.asarray(0.01, lam.dtype), lam_out)
+        cutoff_out = jnp.where(do_rep, cutoff2, cutoff)
+        E_out = jnp.where(do_rep, E2, E_out)
+        n_out = jnp.where(do_rep, n2, n_out)
+        done_out = (pass_end & ~do_rep) | (total + 1 >= 2 * max_iterations + 2)
+        return (
+            it_out, total + 1, T_out, aff_out, E_out, n_out, lam_out, H_out,
+            b_out, cutoff_out, ar_out, inb_out, rep_pending & ~do_rep, done_out,
+        )
 
     init = (
         jnp.asarray(0),
+        jnp.asarray(0),
         T_init,
         aff_init,
-        stats0.energy,
-        stats0.num_terms,
+        E0,
+        n0,
         jnp.asarray(0.01, dtype=jnp.float32),
         H0,
         b0v,
-        jnp.asarray(False),
+        cutoff0,
+        ar0,
+        inb0,
+        rep_pending0,
+        jnp.asarray(max_iterations <= 0),
     )
-    _, T, aff, E, n, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    (_, _, T, aff, E, n, _, _, _, cutoff_f, ar_f, inb_f, _, _) = (
+        jax.lax.while_loop(cond, body, init)
+    )
 
-    stats_f, _ = res_of(T, aff, compute_flow=True)
+    _, _, sat_f = _energy_at_cutoff(ar_f, inb_f, cutoff_f, s)
+    stats_f, _ = res_of(T, aff, cutoff_f, compute_flow=True)
     return LevelResult(
         T=T,
         aff=aff,
@@ -504,5 +585,6 @@ def lm_level(
         flow_t=stats_f.flow_t,
         flow_rt=stats_f.flow_rt,
         num_terms=n,
-        sat_frac=stats0.num_saturated / jnp.maximum(stats0.num_terms, 1),
+        sat_frac=sat_f,
+        repeated=rep_pending0,
     )

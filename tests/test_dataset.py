@@ -52,6 +52,29 @@ def test_dataset_reader(kitti_dir):
     assert float(ds.calib.c[0]) == pytest.approx(K[0, 0], rel=1e-5)
 
 
+def test_dataset_reader_zip(kitti_dir, tmp_path):
+    """Zip-archive mode matches the folder reader (DatasetReader.h:129-166)."""
+    import zipfile
+
+    from stereo_dso_g2o_tpu.io.dataset import StereoDataset
+
+    base, calib, K, b = kitti_dir
+    zpath = str(tmp_path / "seq.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _, files in os.walk(base):
+            for fn in files:
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.join("seq", os.path.relpath(full, base)))
+    ds_dir = StereoDataset(base, calib_file=calib, n_levels=4)
+    ds_zip = StereoDataset(zpath, calib_file=calib, n_levels=4)
+    assert len(ds_zip) == len(ds_dir)
+    ld, rd, tsd, expd = ds_dir.get(2)
+    lz, rz, tsz, expz = ds_zip.get(2)
+    np.testing.assert_array_equal(ld, lz)
+    np.testing.assert_array_equal(rd, rz)
+    assert tsd == tsz and expd == expz
+
+
 def test_calib_parse_relative():
     import tempfile
 

@@ -123,3 +123,51 @@ def test_rotation_ladder_size():
     assert len(lad) == 52  # 26 combos x 2 deltas
     for T in lad:
         np.testing.assert_allclose(T[:3, :3] @ T[:3, :3].T, np.eye(3), atol=1e-9)
+
+
+def test_cutoff_repeat_in_graph():
+    """The in-graph cutoff-repeat (legacy CoarseTracker.cpp:891-906,
+    :1036-1041): a large global brightness shift saturates >60% of residuals
+    at the 1x cutoff; lm_level must raise the cutoff, report the repeat, and
+    still recover the photometric offset + pose."""
+    import jax
+
+    from stereo_dso_g2o_tpu.ops import tracker_ops
+
+    scene, K, calib, tracker = _make_tracker()
+    T_gt = np.eye(4)
+    T_gt[:3, 3] = [0.02, 0.0, 0.01]
+    new_img, _ = synthetic.render(scene, K, 256, 128, T_gt)
+    # +90 intensity shift: residuals >> coarse_cutoff_th=20 at aff=(0,0)
+    new_img = np.clip(new_img + 90.0, 0.0, 1e9)
+    dI_new, _ = build_pyramid(jnp.asarray(new_img), N_LVL)
+
+    lvl = 2
+    K_lvl = jnp.stack(
+        [calib.fx(lvl), calib.fy(lvl), calib.cx(lvl), calib.cy(lvl)]
+    )
+    pc_u, pc_v, pc_id, pc_color, pc_ok = tracker.ref[lvl]
+    out = tracker_ops.lm_level(
+        pc_u, pc_v, pc_id, pc_color, pc_ok, dI_new[lvl], K_lvl,
+        jnp.asarray(T_gt, jnp.float32), jnp.zeros(2, jnp.float32),
+        tracker.ref_aff, jnp.float32(1.0), jnp.float32(1.0),
+        jnp.asarray(False), settings=SET, max_iterations=10,
+    )
+    assert bool(out.repeated), "saturated start must trigger the repeat"
+    assert float(out.sat_frac) <= 0.6 + 1e-6
+    # the affine b should have moved toward the -90 shift (b enters residual
+    # as hit - (a*color + b); the optimizer tracks it in aff_g2l convention)
+    rel_b = float(out.aff[1])
+    assert abs(rel_b) > 20.0, f"affine b did not move: {rel_b}"
+
+    # an unshifted frame must NOT repeat
+    new2, _ = synthetic.render(scene, K, 256, 128, T_gt)
+    dI2, _ = build_pyramid(jnp.asarray(new2), N_LVL)
+    out2 = tracker_ops.lm_level(
+        pc_u, pc_v, pc_id, pc_color, pc_ok, dI2[lvl], K_lvl,
+        jnp.asarray(T_gt, jnp.float32), jnp.zeros(2, jnp.float32),
+        tracker.ref_aff, jnp.float32(1.0), jnp.float32(1.0),
+        jnp.asarray(False), settings=SET, max_iterations=10,
+    )
+    assert not bool(out2.repeated)
+    assert float(out2.sat_frac) < 0.1
