@@ -33,12 +33,21 @@ BOOT = 12  # host-bootstrap frames per sequence (initialization)
 W_, H_, BASE = 1216, 352, 0.54
 PEAK_F32_FLOPS = 49.2e12  # TPU v5e fp32-accumulate MXU peak (bf16 197/4)
 
+# SDSO_BENCH_SMALL=1: shrunken smoke-mode (CPU-checkable) — validates the
+# full bench code path without the KITTI-resolution compile/render cost.
+if os.environ.get("SDSO_BENCH_SMALL") == "1":
+    N_SEQ, N_FRAMES, W_, H_, BASE = 2, 40, 256, 128, 0.2
+
 
 def render_sequences():
     """Render (or load) N_SEQ hostile sequences + GT poses, uint8."""
     from stereo_dso_g2o_tpu.io import synthetic
 
-    cache = "/root/repo/.cache/bench_frames_v3.npz"
+    cache = (
+        "/root/repo/.cache/bench_frames_v3.npz"
+        if os.environ.get("SDSO_BENCH_SMALL") != "1"
+        else f"/root/repo/.cache/bench_small_{W_}x{H_}_{N_SEQ}x{N_FRAMES}.npz"
+    )
     K = synthetic.default_K(W_, H_, fov_deg=80.0)
     if os.path.exists(cache):
         data = np.load(cache)
@@ -52,15 +61,21 @@ def render_sequences():
             seqs.append((frames, poses))
         return K, seqs
 
+    # scene scale must respect the rig: stereo disparity fx*B/z needs to sit
+    # between ~2 px (measurable) and maxPixSearch ~ 0.027*(W+H) (traceable)
+    if os.environ.get("SDSO_BENCH_SMALL") == "1":
+        depth_range, lateral, backdrop, step = (5.0, 14.0), 6.0, 22.0, 0.12
+    else:
+        depth_range, lateral, backdrop, step = (12.0, 45.0), 14.0, 70.0, 0.30
     arrays = {}
     seqs = []
     for s in range(N_SEQ):
         scene = synthetic.box_scene(
-            seed=100 + s, n_boxes=6, depth_range=(12.0, 45.0), lateral=14.0,
-            backdrop_dist=70.0,
+            seed=100 + s, n_boxes=6, depth_range=depth_range, lateral=lateral,
+            backdrop_dist=backdrop,
         )
         poses_cw = synthetic.forward_trajectory(
-            N_FRAMES, step=0.30, yaw_amp=0.10, yaw_period=80.0, seed=s
+            N_FRAMES, step=step, yaw_amp=0.10, yaw_period=80.0, seed=s
         )
         frames, poses = [], []
         for i, T in enumerate(poses_cw):
@@ -99,12 +114,20 @@ def main():
     from stereo_dso_g2o_tpu.models.camera import make_calib
     from stereo_dso_g2o_tpu.parallel.batched import BatchedRunner
 
-    settings = Settings(
-        desired_point_density=2000.0,
-        desired_immature_density=1500.0,
-        immature_cap=2048,
-        active_cap=2048,
-    )
+    if os.environ.get("SDSO_BENCH_SMALL") == "1":
+        settings = Settings(
+            desired_point_density=600.0,
+            desired_immature_density=450.0,
+            immature_cap=512,
+            active_cap=1024,
+        )
+    else:
+        settings = Settings(
+            desired_point_density=2000.0,
+            desired_immature_density=1500.0,
+            immature_cap=2048,
+            active_cap=2048,
+        )
     K, seqs = render_sequences()
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_,
                        n_levels=6)
@@ -182,8 +205,13 @@ def main():
         "single_seq_fps": round(single_fps, 2),
         "n_seq_batched": N_SEQ,
         "ate_rmse_m": round(float(ate), 4),
-        "kitti_rel_trans_pct": round(rel_t, 3),
-        "kitti_rel_rot_degpm": round(rel_r, 5),
+        # rel errors need >=10 m segments; guard so the JSON stays parseable
+        "kitti_rel_trans_pct": (
+            round(rel_t, 3) if np.isfinite(rel_t) else None
+        ),
+        "kitti_rel_rot_degpm": (
+            round(rel_r, 5) if np.isfinite(rel_r) else None
+        ),
         "n_keyframes": n_kfs,
         "n_frames": N_FRAMES,
     }
