@@ -254,42 +254,13 @@ def _levels(calib: Calib):
     return calib.n_levels
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings", "n_levels", "n_tries", "pot", "caps",
-                     "w0", "h0", "imm_cap"),
-)
-def frame_auto(
-    state: GraphState,
-    left,  # (H, W) raw
-    right,
-    calib_c,
-    baseline,
-    new_exposure,  # ()
-    settings: Settings = default_settings(),
-    n_levels: int = 6,
-    n_tries: int = 5,
-    pot: int = 3,
-    caps: Tuple[int, ...] = (),
-    w0: int = 0,
-    h0: int = 0,
-    imm_cap: int = 2048,
+def _track_common(
+    state: GraphState, left, right, calib_c, baseline, new_exposure,
+    settings: Settings, n_levels: int, n_tries: int, w0: int, h0: int,
 ):
-    """One full frame — track + (cond) the whole keyframe pipeline.
-
-    Pose hypotheses (constant-velocity motion model, FullSystem.cpp:349-377)
-    and the affine init come from GraphState, so the host never has to fetch
-    the previous frame's result before dispatching the next: results drain
-    asynchronously a few frames behind while the device pipeline runs ahead."""
+    """Shared front half of every frame: pyramids + cascade + in-graph retry
+    ladder + speculative non-KF refinement + the keyframe decision."""
     s = settings
-    F = state.win.F
-    calib = Calib(
-        c=calib_c,
-        baseline=baseline,
-        w=tuple(w0 >> l for l in range(n_levels)),
-        h=tuple(h0 >> l for l in range(n_levels)),
-    )
-
     w2c_pre0 = state.win.w2c()
     ref_c2w = _rigid_inv(w2c_pre0[state.ref_slot])
     T_tries = motion_tries(state.last_c2w, state.prev_c2w, ref_c2w)[:n_tries]
@@ -325,35 +296,60 @@ def frame_auto(
         track_eff, state.ref_aff, state.ref_exposure, new_exposure,
         new_first, float(w0 + h0), s,
     )
+    return (
+        (dIpL, dIpR), imm_spec, track, T_best, aff_best, flow, ok_eff,
+        new_last, new_first, need_kf,
+    )
 
-    def non_kf(_):
-        st = state._replace(
-            imm=imm_spec, last_rmse0=new_last, first_rmse=new_first,
-            last_c2w=_rigid_inv(T_best @ w2c_pre0[state.ref_slot]),
-            prev_c2w=state.last_c2w,
-            last_aff=aff_best,
-        )
-        bundle = FrameBundle(
-            T=T_best, aff=aff_best, residuals=track.residuals, flow=flow,
-            ok=ok_eff, sat_frac0=track.sat_frac0, need_kf=need_kf,
-            slot=jnp.asarray(-1, jnp.int32),
-            flagged=jnp.zeros((F,), bool),
-            w2c=state.win.w2c(), aff_all=state.win.aff_g2l(),
-            frame_valid=state.win.frame_valid, frame_id=state.win.frame_id,
-            energy=jnp.asarray(jnp.nan, jnp.float32),
-            nres=jnp.asarray(0, jnp.int32),
-            sel_num=jnp.asarray(0, jnp.int32),
-            n_active=jnp.sum(state.win.pt_status == W.PT_ACTIVE).astype(
-                jnp.int32
-            ),
-        )
-        return st, bundle
 
-    def kf(_):
-        win = state.win
-        imm = state.imm
-        w2c_pre = win.w2c()
-        T_new_w2c = T_best @ w2c_pre[state.ref_slot]
+def _nonkf_branch(state: GraphState, imm_spec, track, T_best, aff_best,
+                  flow, ok_eff, new_last, new_first, need_kf):
+    F = state.win.F
+    w2c_pre0 = state.win.w2c()
+    st = state._replace(
+        imm=imm_spec, last_rmse0=new_last, first_rmse=new_first,
+        last_c2w=_rigid_inv(T_best @ w2c_pre0[state.ref_slot]),
+        prev_c2w=state.last_c2w,
+        last_aff=aff_best,
+    )
+    bundle = FrameBundle(
+        T=T_best, aff=aff_best, residuals=track.residuals, flow=flow,
+        ok=ok_eff, sat_frac0=track.sat_frac0, need_kf=need_kf,
+        slot=jnp.asarray(-1, jnp.int32),
+        flagged=jnp.zeros((F,), bool),
+        w2c=state.win.w2c(), aff_all=state.win.aff_g2l(),
+        frame_valid=state.win.frame_valid, frame_id=state.win.frame_id,
+        energy=jnp.asarray(jnp.nan, jnp.float32),
+        nres=jnp.asarray(0, jnp.int32),
+        sel_num=jnp.asarray(0, jnp.int32),
+        n_active=jnp.sum(state.win.pt_status == W.PT_ACTIVE).astype(
+            jnp.int32
+        ),
+    )
+    return st, bundle
+
+
+def _kf_branch(
+    state: GraphState, dIpL, dIpR0, track, T_best, aff_best, flow, ok_eff,
+    new_last, new_first, need_kf, calib_c, baseline, new_exposure,
+    settings: Settings, n_levels: int, pot: int, caps: Tuple[int, ...],
+    w0: int, h0: int, imm_cap: int,
+):
+    """The whole keyframe pipeline (makeKeyFrame) as traced code, from the
+    PRE-frame state + the tracking result."""
+    s = settings
+    F = state.win.F
+    calib = Calib(
+        c=calib_c,
+        baseline=baseline,
+        w=tuple(w0 >> l for l in range(n_levels)),
+        h=tuple(h0 >> l for l in range(n_levels)),
+    )
+    win = state.win
+    imm = state.imm
+    w2c_pre = win.w2c()
+    T_new_w2c = T_best @ w2c_pre[state.ref_slot]
+    if True:  # keep the original body's indentation
 
         # STEP 1: trace all immature points onto the incoming KF
         imm = FS.kf_trace_step(
@@ -412,7 +408,7 @@ def frame_auto(
         # STEPS 7-8: final linearization, outlier removal, tracking-ref
         # inputs, point flagging + marginalization
         win, ref_inputs, gone, w2c_post, aff_all, _ = FS.kf_finalize(
-            win, dI0, dIpL[0], dIpR[0], slot, flagged,
+            win, dI0, dIpL[0], dIpR0, slot, flagged,
             state.ref_slot, calib_c, baseline,
             settings=s, n_levels=n_levels,
         )
@@ -488,7 +484,144 @@ def frame_auto(
         )
         return st, bundle
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_levels", "n_tries", "pot", "caps",
+                     "w0", "h0", "imm_cap"),
+)
+def frame_auto(
+    state: GraphState,
+    left,  # (H, W) raw
+    right,
+    calib_c,
+    baseline,
+    new_exposure,  # ()
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+    n_tries: int = 5,
+    pot: int = 3,
+    caps: Tuple[int, ...] = (),
+    w0: int = 0,
+    h0: int = 0,
+    imm_cap: int = 2048,
+):
+    """One full frame — track + (cond) the whole keyframe pipeline, ONE
+    program. With a scalar predicate lax.cond executes only the taken branch,
+    so a non-keyframe never pays the keyframe pipeline's compute.
+
+    Pose hypotheses (constant-velocity motion model, FullSystem.cpp:349-377)
+    and the affine init come from GraphState, so the host never has to fetch
+    the previous frame's result before dispatching the next: results drain
+    asynchronously a few frames behind while the device pipeline runs ahead."""
+    (dIpL, dIpR), imm_spec, track, T_best, aff_best, flow, ok_eff, \
+        new_last, new_first, need_kf = _track_common(
+            state, left, right, calib_c, baseline, new_exposure,
+            settings, n_levels, n_tries, w0, h0,
+        )
+
+    def non_kf(_):
+        return _nonkf_branch(
+            state, imm_spec, track, T_best, aff_best, flow, ok_eff,
+            new_last, new_first, need_kf,
+        )
+
+    def kf(_):
+        return _kf_branch(
+            state, dIpL, dIpR[0], track, T_best, aff_best, flow, ok_eff,
+            new_last, new_first, need_kf, calib_c, baseline, new_exposure,
+            settings, n_levels, pot, caps, w0, h0, imm_cap,
+        )
+
     return jax.lax.cond(need_kf, kf, non_kf, None)
+
+
+class TrackAux(NamedTuple):
+    """Everything the gated keyframe program needs beyond the pre-state."""
+
+    dIpL: Tuple  # full left pyramid (n_levels arrays)
+    dIpR0: jax.Array  # right level-0 pyramid
+    track: FS.TrackOut
+    T_best: jax.Array
+    aff_best: jax.Array
+    flow: jax.Array
+    ok_eff: jax.Array
+    new_last: jax.Array
+    new_first: jax.Array
+    need_kf: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_levels", "n_tries", "w0", "h0"),
+)
+def frame_track(
+    state: GraphState,
+    left,
+    right,
+    calib_c,
+    baseline,
+    new_exposure,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+    n_tries: int = 5,
+    w0: int = 0,
+    h0: int = 0,
+):
+    """Track-only half for the GATED batched path: always applies the
+    speculative non-KF update and returns the aux needed to (re)run the
+    keyframe pipeline from the pre-state when need_kf comes back true.
+
+    Rationale: under vmap a batched-predicate lax.cond lowers to select —
+    both branches execute for every sequence, so the fused `frame_auto`
+    pays the whole keyframe pipeline on every batched frame. Splitting lets
+    the host dispatch `frame_kf` only for the sequences that need it
+    (reference analog: makeKeyFrame vs makeNonKeyFrame dispatch,
+    FullSystem.cpp:1168-1221)."""
+    (dIpL, dIpR), imm_spec, track, T_best, aff_best, flow, ok_eff, \
+        new_last, new_first, need_kf = _track_common(
+            state, left, right, calib_c, baseline, new_exposure,
+            settings, n_levels, n_tries, w0, h0,
+        )
+    st, bundle = _nonkf_branch(
+        state, imm_spec, track, T_best, aff_best, flow, ok_eff,
+        new_last, new_first, need_kf,
+    )
+    aux = TrackAux(
+        dIpL=dIpL, dIpR0=dIpR[0], track=track, T_best=T_best,
+        aff_best=aff_best, flow=flow, ok_eff=ok_eff, new_last=new_last,
+        new_first=new_first, need_kf=need_kf,
+    )
+    return st, bundle, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_levels", "pot", "caps", "w0", "h0",
+                     "imm_cap"),
+)
+def frame_kf(
+    state_pre: GraphState,
+    aux: TrackAux,
+    calib_c,
+    baseline,
+    new_exposure,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+    pot: int = 3,
+    caps: Tuple[int, ...] = (),
+    w0: int = 0,
+    h0: int = 0,
+    imm_cap: int = 2048,
+):
+    """The keyframe pipeline from the PRE-frame state + frame_track's aux —
+    numerically identical to frame_auto's kf branch."""
+    return _kf_branch(
+        state_pre, aux.dIpL, aux.dIpR0, aux.track, aux.T_best, aux.aff_best,
+        aux.flow, aux.ok_eff, aux.new_last, aux.new_first, aux.need_kf,
+        calib_c, baseline, new_exposure, settings, n_levels, pot, caps,
+        w0, h0, imm_cap,
+    )
 
 
 def tracker_build_ref(us, vs, idepths, weights, valid, dI_ref, n_levels):

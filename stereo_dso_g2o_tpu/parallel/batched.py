@@ -2,10 +2,23 @@
 
 Round 1's MultiSequenceRunner round-robined `FullSystem.add_frame` per
 sequence on the host — N sequences cost N dispatch pipelines. Here the whole
-fused frame program (`frontend/graph_system.frame_auto` — tracking AND the
-in-graph keyframe pipeline) vmaps over a leading sequence axis, so stepping
+fused frame program vmaps over a leading sequence axis, so stepping
 N sequences is ONE dispatch + ONE small fetch per frame: the dispatch
 latency amortizes N-fold, and the device fills with N sequences' compute.
+
+Two dispatch modes (`kf_mode`):
+
+- "gated" (default): a vmapped track-only program for all sequences, then
+  the keyframe pipeline dispatched ONLY for the sequences whose in-graph
+  decision came back true. Under vmap a batched-predicate lax.cond lowers
+  to select — both branches execute for everyone — so the fused mode pays
+  the whole keyframe pipeline on EVERY batched frame; gating cuts that to
+  the actual keyframe rate (~1/3) at the price of one small need_kf fetch
+  per frame (the next frame's track depends on the post-KF state, so that
+  sync is inherent — the reference has the same dependency through its
+  track/map handoff, FullSystem.cpp:1168-1221).
+- "fused": one vmapped frame_auto dispatch per frame (no per-frame sync;
+  wins only if the keyframe pipeline is cheap relative to dispatch latency).
 
 All sequences must share resolution/calibration shape (KITTI-style fleets
 do; per-sequence intrinsics VALUES may differ — they are traced inputs).
@@ -28,6 +41,8 @@ from stereo_dso_g2o_tpu.frontend.graph_system import (
     GraphState,
     GraphSystem,
     frame_auto,
+    frame_kf,
+    frame_track,
 )
 
 
@@ -64,6 +79,45 @@ def frame_auto_batched(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_levels", "n_tries", "w0", "h0"),
+)
+def frame_track_batched(
+    states: GraphState,
+    lefts,
+    rights,
+    calib_cs,
+    baselines,
+    exposures,
+    settings: Settings = default_settings(),
+    n_levels: int = 6,
+    n_tries: int = 5,
+    w0: int = 0,
+    h0: int = 0,
+):
+    def one(state, left, right, cc, bl, expo):
+        return frame_track(
+            state, left, right, cc, bl, expo,
+            settings=settings, n_levels=n_levels, n_tries=n_tries,
+            w0=w0, h0=h0,
+        )
+
+    return jax.vmap(one)(
+        states, lefts, rights, calib_cs, baselines, exposures,
+    )
+
+
+@jax.jit
+def _tree_slice(tree, i):
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+@jax.jit
+def _tree_merge(stacked, item, i):
+    return jax.tree.map(lambda s, x: s.at[i].set(x), stacked, item)
+
+
 class BatchedRunner:
     """Steps N bootstrapped sequences with one device program per frame.
 
@@ -71,8 +125,10 @@ class BatchedRunner:
     FullSystem past initialization), then `BatchedRunner(systems)`. Host
     bookkeeping stays per-sequence; device state lives stacked."""
 
-    def __init__(self, systems: Sequence[GraphSystem]):
+    def __init__(self, systems: Sequence[GraphSystem], kf_mode: str = "gated"):
         assert len(systems) >= 1
+        assert kf_mode in ("gated", "fused")
+        self.kf_mode = kf_mode
         self.systems: List[GraphSystem] = list(systems)
         cal0 = systems[0].calib
         for gs in systems:
@@ -99,30 +155,47 @@ class BatchedRunner:
 
     def add_frames(self, frames, frame_id: int, timestamp: float = 0.0,
                    exposures: Optional[Sequence[float]] = None):
-        """frames: list of (left, right) per sequence. One device dispatch;
-        results drain `fetch_lag` frames behind (motion model is in-graph)."""
+        """frames: list of (left, right) per sequence. In "fused" mode one
+        device dispatch, results drain `fetch_lag` frames behind; in "gated"
+        mode one vmapped track dispatch + per-keyframe-sequence pipeline
+        dispatches (one small need_kf sync per frame)."""
         n = len(self.systems)
         assert len(frames) == n
         if exposures is None:
             exposures = [1.0] * n
-
-        states, bundles = frame_auto_batched(
-            self.states,
-            jnp.asarray(np.stack([f[0] for f in frames])),
-            jnp.asarray(np.stack([f[1] for f in frames])),
-            self.calib_cs,
-            self.baselines,
-            jnp.asarray(np.asarray(exposures), jnp.float32),
-            settings=self.settings,
-            n_levels=self.calib.n_levels,
-            n_tries=5,
-            pot=self.pot,
-            caps=self.caps,
-            w0=self.calib.w[0],
-            h0=self.calib.h[0],
-            imm_cap=self.settings.immature_cap,
+        expos = jnp.asarray(np.asarray(exposures), jnp.float32)
+        lefts = jnp.asarray(np.stack([f[0] for f in frames]))
+        rights = jnp.asarray(np.stack([f[1] for f in frames]))
+        common = dict(
+            settings=self.settings, n_levels=self.calib.n_levels,
+            w0=self.calib.w[0], h0=self.calib.h[0],
         )
-        self.states = states
+
+        if self.kf_mode == "fused":
+            states, bundles = frame_auto_batched(
+                self.states, lefts, rights, self.calib_cs, self.baselines,
+                expos, n_tries=5, pot=self.pot, caps=self.caps,
+                imm_cap=self.settings.immature_cap, **common,
+            )
+            self.states = states
+        else:
+            states_pre = self.states
+            states, bundles, aux = frame_track_batched(
+                states_pre, lefts, rights, self.calib_cs, self.baselines,
+                expos, n_tries=5, **common,
+            )
+            need = np.asarray(jax.device_get(bundles.need_kf))
+            for i in np.nonzero(need)[0]:
+                i = int(i)
+                st_i, b_i = frame_kf(
+                    _tree_slice(states_pre, i), _tree_slice(aux, i),
+                    self.calib_cs[i], self.baselines[i], expos[i],
+                    pot=self.pot, caps=self.caps,
+                    imm_cap=self.settings.immature_cap, **common,
+                )
+                states = _tree_merge(states, st_i, i)
+                bundles = _tree_merge(bundles, b_i, i)
+            self.states = states
         self._pending_q.append((bundles, frame_id, timestamp))
         drained = None
         while len(self._pending_q) > self.fetch_lag:

@@ -64,8 +64,11 @@ def test_graph_system_continues_full_system():
 
 
 @pytest.mark.slow
-def test_batched_runner_two_sequences():
-    """Config 4: two sequences stepped by ONE vmapped program per frame."""
+@pytest.mark.parametrize("kf_mode", ["gated", "fused"])
+def test_batched_runner_two_sequences(kf_mode):
+    """Config 4: two sequences stepped by one vmapped track program per frame
+    (gated: keyframe pipeline dispatched only for sequences that need it;
+    fused: everything under vmapped lax.cond)."""
     from stereo_dso_g2o_tpu.parallel.batched import BatchedRunner
 
     n, n_boot = 14, 7
@@ -73,19 +76,30 @@ def test_batched_runner_two_sequences():
     _, gt1, fr1 = _frames(n, seed=5)
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_, n_levels=5)
 
+    import dataclasses
+
+    # eager KF policy so the batched keyframe path (gated dispatch / fused
+    # cond) is actually exercised within the short tail
+    set_kf = dataclasses.replace(SET, kf_global_weight=3.0)
     systems = []
     for frames in (fr0, fr1):
-        fs = FullSystem(calib, SET)
+        fs = FullSystem(calib, set_kf)
         for i in range(n_boot):
             fs.add_frame(frames[i][0], frames[i][1], i, timestamp=0.1 * i)
         systems.append(GraphSystem.from_full_system(fs))
-    runner = BatchedRunner(systems)
+    runner = BatchedRunner(systems, kf_mode=kf_mode)
+    kfs_boot = [len(gs.kf_shells) for gs in runner.systems]
     for i in range(n_boot, n):
         runner.add_frames(
             [fr0[i], fr1[i]], i, timestamp=0.1 * i
         )
     t0, t1 = runner.trajectories()
     assert len(t0) == n and len(t1) == n
+    # at least one sequence must have decided a keyframe through this path
+    kfs_after = [len(gs.kf_shells) for gs in runner.systems]
+    assert any(a > b for a, b in zip(kfs_after, kfs_boot)), (
+        kfs_boot, kfs_after,
+    )
     ate0 = trajectory.ate_rmse(t0, gt0)
     ate1 = trajectory.ate_rmse(t1, gt1)
     assert ate0 < 0.03 and ate1 < 0.03, (ate0, ate1)
