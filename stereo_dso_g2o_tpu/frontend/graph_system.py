@@ -74,9 +74,20 @@ class GraphState(NamedTuple):
     min_act_dist: jax.Array  # () activation distance controller
     next_kf_id: jax.Array  # () int32
     salt: jax.Array  # () int32 selector randomization counter
-    last_c2w: jax.Array  # (4, 4) camToWorld of the previous frame
-    prev_c2w: jax.Array  # (4, 4) camToWorld of the frame before that
+    last_c2w: jax.Array  # (4, 4) camToWorld of the previous frame (frozen)
+    prev_c2w: jax.Array  # (4, 4) camToWorld of the frame before that (frozen)
     last_aff: jax.Array  # (2,) previous frame's affine estimate
+    # camToRef + reference identity of the two previous frames: lets the
+    # motion model recompose their camToWorld with the CURRENT (post-BA)
+    # window pose of the reference instead of the frozen composite above —
+    # matching the host path, which reads BA-refreshed keyframe shells
+    # (FullSystem.cpp:305-312 under shellPoseMutex)
+    last_rel: jax.Array  # (4, 4) camToRef of the previous frame
+    last_slot: jax.Array  # () its reference's window slot
+    last_fid: jax.Array  # () its reference's frame id (slot-reuse guard)
+    prev_rel: jax.Array  # (4, 4)
+    prev_slot: jax.Array  # ()
+    prev_fid: jax.Array  # ()
 
 
 class FrameBundle(NamedTuple):
@@ -263,7 +274,19 @@ def _track_common(
     s = settings
     w2c_pre0 = state.win.w2c()
     ref_c2w = _rigid_inv(w2c_pre0[state.ref_slot])
-    T_tries = motion_tries(state.last_c2w, state.prev_c2w, ref_c2w)[:n_tries]
+
+    def fresh_c2w(comp, rel, slot, fid):
+        ok = state.win.frame_valid[slot] & (state.win.frame_id[slot] == fid)
+        fresh = _rigid_inv(w2c_pre0[slot]) @ rel
+        return jnp.where(ok, fresh, comp)
+
+    last_c2w = fresh_c2w(
+        state.last_c2w, state.last_rel, state.last_slot, state.last_fid
+    )
+    prev_c2w = fresh_c2w(
+        state.prev_c2w, state.prev_rel, state.prev_slot, state.prev_fid
+    )
+    T_tries = motion_tries(last_c2w, prev_c2w, ref_c2w)[:n_tries]
     aff_init = state.last_aff
 
     last_rmse = jnp.where(
@@ -311,6 +334,12 @@ def _nonkf_branch(state: GraphState, imm_spec, track, T_best, aff_best,
         last_c2w=_rigid_inv(T_best @ w2c_pre0[state.ref_slot]),
         prev_c2w=state.last_c2w,
         last_aff=aff_best,
+        last_rel=_rigid_inv(T_best),
+        last_slot=state.ref_slot,
+        last_fid=state.win.frame_id[state.ref_slot],
+        prev_rel=state.last_rel,
+        prev_slot=state.last_slot,
+        prev_fid=state.last_fid,
     )
     bundle = FrameBundle(
         T=T_best, aff=aff_best, residuals=track.residuals, flow=flow,
@@ -470,6 +499,12 @@ def _kf_branch(
             last_c2w=_rigid_inv(w2c_post[slot]),
             prev_c2w=state.last_c2w,
             last_aff=aff_all[slot].astype(state.last_aff.dtype),
+            last_rel=jnp.eye(4, dtype=state.last_rel.dtype),
+            last_slot=slot.astype(state.last_slot.dtype),
+            last_fid=kf_id.astype(state.last_fid.dtype),
+            prev_rel=state.last_rel,
+            prev_slot=state.last_slot,
+            prev_fid=state.last_fid,
         )
         bundle = FrameBundle(
             T=T_best, aff=aff_best, residuals=track.residuals, flow=flow,
@@ -692,6 +727,26 @@ class GraphSystem:
                 for s_ in range(F)
             ]
         )
+
+        def shell_rel(sh):
+            """(camToRef, ref window slot, ref frame id) for the motion
+            model's at-use recomposition; (-1 fid) disables it when the
+            reference already left the window."""
+            kf_id_of_slot = fs.slot_frame_id  # {slot: kf_id}
+            if sh.is_kf:
+                # the shell IS a keyframe: find its own slot
+                for s_, kid in kf_id_of_slot.items():
+                    if kid == fs.kf_shells.index(sh):
+                        return np.eye(4), s_, kid
+                # fall through if already marginalized
+            if sh.ref_kf_id >= 0:
+                for s_, kid in kf_id_of_slot.items():
+                    if kid == sh.ref_kf_id:
+                        return np.asarray(sh.T_cam_to_ref), s_, kid
+            return np.eye(4), 0, -1  # fallback: frozen composite only
+
+        rel_l, slot_l, fid_l = shell_rel(fs.history[-1])
+        rel_p, slot_p, fid_p = shell_rel(fs.history[-2])
         state = GraphState(
             win=fs.win,
             imm=fs.imm,
@@ -719,6 +774,12 @@ class GraphSystem:
                 fs._shell_T_cw(fs.history[-2]), jnp.float32
             ),
             last_aff=jnp.asarray(fs.history[-1].aff, jnp.float32),
+            last_rel=jnp.asarray(rel_l, jnp.float32),
+            last_slot=jnp.asarray(slot_l, jnp.int32),
+            last_fid=jnp.asarray(fid_l, jnp.int32),
+            prev_rel=jnp.asarray(rel_p, jnp.float32),
+            prev_slot=jnp.asarray(slot_p, jnp.int32),
+            prev_fid=jnp.asarray(fid_p, jnp.int32),
         )
         history = [
             GraphShell(sh.id, sh.timestamp, sh.T_cam_to_ref, sh.ref_kf_id,
