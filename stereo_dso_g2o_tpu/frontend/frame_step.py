@@ -401,7 +401,14 @@ def frame_step_full(
     )
     res0 = t0.residuals[0]
     good0 = t0.ok & jnp.isfinite(res0) & (t0.sat_frac0 <= 0.6)
-    need_ladder = ~(good0 & (res0 < last_rmse0 * settings.re_track_threshold))
+    if settings.always_retry_ladder:
+        # TPU-native superset: evaluate the whole hypothesis batch and keep
+        # the best (see Settings.always_retry_ladder)
+        need_ladder = jnp.asarray(True)
+    else:
+        need_ladder = ~(
+            good0 & (res0 < last_rmse0 * settings.re_track_threshold)
+        )
 
     def with_ladder(_):
         def one(T_init):
@@ -442,7 +449,10 @@ def frame_step_full(
     def no_ladder(_):
         return t0
 
-    track = jax.lax.cond(need_ladder, with_ladder, no_ladder, None)
+    if settings.always_retry_ladder:
+        track = with_ladder(None)
+    else:
+        track = jax.lax.cond(need_ladder, with_ladder, no_ladder, None)
 
     imm_out = _nonkey_refine(
         win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
