@@ -167,10 +167,27 @@ def main(argv):
             for i in range(start, n):
                 yield (i, *ds.get(i))
 
+    # graph=1 (default): after host bootstrap, continue on the fused
+    # one-dispatch-per-frame graph pipeline (the production path; graph=0
+    # keeps the host orchestrator for the whole run)
+    use_graph = args.get("graph", "1") == "1"
+
     t0 = time.perf_counter()
     n_done = 0
     n_kfs_seen = 0
     for i, left, right, ts, exp in frames():
+        if (
+            use_graph
+            and isinstance(fs, FullSystem)
+            and fs.initialized
+            and not fs.init_failed
+            and not fs.is_lost
+            and len(fs.kf_shells) >= 4
+            and len(fs.history) >= 3
+        ):
+            from stereo_dso_g2o_tpu.frontend.graph_system import GraphSystem
+
+            fs = GraphSystem.from_full_system(fs)
         fs.add_frame(left, right, i, timestamp=ts, exposure=exp)
         n_done += 1
         if wrapper and fs.history:

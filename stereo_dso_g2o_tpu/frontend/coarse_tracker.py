@@ -160,6 +160,15 @@ class CoarseTracker:
                 return TrackResult(False, np.asarray(T), np.asarray(aff), residuals, flow)
             if res > 1.5 * min_res_for_abort[lvl]:
                 return TrackResult(False, np.asarray(T), np.asarray(aff), residuals, flow)
+            # coverage guard (see frame_step.track_cascade): reject poses
+            # that drop (nearly) every reference point out of view; fine
+            # levels only — tiny top levels are legitimately empty no-ops
+            if lvl <= 2:
+                n_ref = int(np.asarray(pc_ok).sum())
+                if int(out.num_terms) < max(10, int(0.25 * n_ref)):
+                    return TrackResult(
+                        False, np.asarray(T), np.asarray(aff), residuals, flow
+                    )
 
             T, aff = T_new, aff_new
 

@@ -89,6 +89,16 @@ def track_cascade(
         have_repeated = have_repeated | out.repeated
         res = out.res_per_point
         lvl_ok = jnp.isfinite(res) & (res <= 1.5 * min_res_for_abort[lvl])
+        if lvl <= 2:
+            # coverage guard (fine levels only): a diverged hypothesis that
+            # throws (nearly) all reference points out of view scores a
+            # spuriously tiny residual — it must not survive the abort test
+            # or win the best-of selection. Top pyramid levels are excluded:
+            # their interior in-bounds band can be legitimately empty
+            # (e.g. a 16x6 level-4 image) and they then act as no-ops.
+            n_ref = jnp.sum(pc_ok).astype(jnp.float32)
+            enough = (out.num_terms >= 10) & (out.num_terms >= 0.25 * n_ref)
+            lvl_ok = lvl_ok & enough
         T = jnp.where(ok & lvl_ok, out.T, T)
         aff = jnp.where(ok & lvl_ok, out.aff, aff)
         residuals = residuals.at[lvl].set(jnp.where(ok, res, jnp.nan))

@@ -798,28 +798,34 @@ class FullSystem:
         the reference's viewer renders per keyframe (PangolinDSOViewer's
         KeyFrameDisplay, KeyFrameDisplay.cpp:102-173). Returns a dict with
         'xyz' (N, 3), 'idepth' (N,), 'host_kf_id' (N,)."""
-        from stereo_dso_g2o_tpu.config import SCALE_IDEPTH
+        return window_point_cloud(self.win, self.calib, self.slot_frame_id)
 
-        win = self.win
-        status = np.asarray(win.pt_status)
-        sel = status == W.PT_ACTIVE
-        if not sel.any():
-            return {"xyz": np.zeros((0, 3)), "idepth": np.zeros(0),
-                    "host_kf_id": np.zeros(0, int)}
-        u = np.asarray(win.pt_u, np.float64)[sel]
-        v = np.asarray(win.pt_v, np.float64)[sel]
-        idp = np.asarray(win.pt_idepth, np.float64)[sel] * SCALE_IDEPTH
-        host = np.asarray(win.pt_host)[sel]
-        ok = idp > 1e-6
-        u, v, idp, host = u[ok], v[ok], idp[ok], host[ok]
-        fx, fy, cx, cy = np.asarray(self.calib.c, np.float64)
-        Xc = np.stack([(u - cx) / fx / idp, (v - cy) / fy / idp, 1.0 / idp], -1)
-        w2c = np.asarray(win.w2c(), np.float64)
-        c2w = np.array([np.linalg.inv(w2c[s_]) for s_ in range(win.F)])
-        R = c2w[host][:, :3, :3]
-        t = c2w[host][:, :3, 3]
-        xyz = np.einsum("nij,nj->ni", R, Xc) + t
-        kf_ids = np.array(
-            [self.slot_frame_id.get(int(s_), -1) for s_ in host], int
-        )
-        return {"xyz": xyz, "idepth": idp, "host_kf_id": kf_ids}
+
+def window_point_cloud(win, calib, slot_frame_id):
+    """World-space 3D positions of a window's active points (shared by the
+    host FullSystem and the fused GraphSystem; reference capability:
+    KeyFrameDisplay.cpp:102-173)."""
+    from stereo_dso_g2o_tpu.config import SCALE_IDEPTH
+
+    status = np.asarray(win.pt_status)
+    sel = status == W.PT_ACTIVE
+    if not sel.any():
+        return {"xyz": np.zeros((0, 3)), "idepth": np.zeros(0),
+                "host_kf_id": np.zeros(0, int)}
+    u = np.asarray(win.pt_u, np.float64)[sel]
+    v = np.asarray(win.pt_v, np.float64)[sel]
+    idp = np.asarray(win.pt_idepth, np.float64)[sel] * SCALE_IDEPTH
+    host = np.asarray(win.pt_host)[sel]
+    ok = idp > 1e-6
+    u, v, idp, host = u[ok], v[ok], idp[ok], host[ok]
+    fx, fy, cx, cy = np.asarray(calib.c, np.float64)
+    Xc = np.stack([(u - cx) / fx / idp, (v - cy) / fy / idp, 1.0 / idp], -1)
+    w2c = np.asarray(win.w2c(), np.float64)
+    c2w = np.array([np.linalg.inv(w2c[s_]) for s_ in range(win.F)])
+    R = c2w[host][:, :3, :3]
+    t = c2w[host][:, :3, 3]
+    xyz = np.einsum("nij,nj->ni", R, Xc) + t
+    kf_ids = np.array(
+        [slot_frame_id.get(int(s_), -1) for s_ in host], int
+    )
+    return {"xyz": xyz, "idepth": idp, "host_kf_id": kf_ids}

@@ -713,6 +713,8 @@ class GraphSystem:
         self.pot = pot
         self.caps = tuple(level_caps(calib))
         self.is_lost = False
+        self.init_failed = False  # initialization is always host-side; kept
+        # for interface parity with FullSystem (CLI reset logic)
         self._pending_q = []  # [(FrameBundle (device), frame_id, ts), ...]
 
     # -- construction ------------------------------------------------------
@@ -895,3 +897,12 @@ class GraphSystem:
     def trajectory(self):
         self.flush()
         return [self._shell_T_cw(sh) for sh in self.history]
+
+    def point_cloud(self):
+        """Window point cloud for the viewer feed (same data FullSystem
+        publishes; KeyFrameDisplay.cpp:102-173)."""
+        from stereo_dso_g2o_tpu.frontend.full_system import window_point_cloud
+
+        self.flush()
+        return window_point_cloud(self.state.win, self.calib,
+                                  self.slot_frame_id)

@@ -47,22 +47,27 @@ class ImmatureSet:
 
 
 def empty(F: int, cap: int) -> ImmatureSet:
-    z = jnp.zeros
+    # explicit float32 everywhere: under jax_enable_x64 (the test config)
+    # dtype-free constructors would create weak/strong float64 leaves, which
+    # changes which jit executable runs after a checkpoint round-trip
+    def z(*shape):
+        return jnp.zeros(shape, jnp.float32)
+
     return ImmatureSet(
-        valid=z((F, cap), bool),
-        u=z((F, cap)),
-        v=z((F, cap)),
-        idepth_min=z((F, cap)),
-        idepth_max=jnp.full((F, cap), jnp.nan),
-        color=z((F, cap, 8)),
-        weights=z((F, cap, 8)),
-        gradH=z((F, cap, 2, 2)),
-        energy_th=z((F, cap)),
-        quality=jnp.full((F, cap), 10000.0),
+        valid=jnp.zeros((F, cap), bool),
+        u=z(F, cap),
+        v=z(F, cap),
+        idepth_min=z(F, cap),
+        idepth_max=jnp.full((F, cap), jnp.nan, jnp.float32),
+        color=z(F, cap, 8),
+        weights=z(F, cap, 8),
+        gradH=z(F, cap, 2, 2),
+        energy_th=z(F, cap),
+        quality=jnp.full((F, cap), 10000.0, jnp.float32),
         status=jnp.full((F, cap), trace_ops.IPS_UNINITIALIZED, jnp.int32),
         my_type=jnp.ones((F, cap), jnp.int32),
-        pixel_interval=z((F, cap)),
-        last_uv=z((F, cap, 2)),
+        pixel_interval=z(F, cap),
+        last_uv=z(F, cap, 2),
     )
 
 

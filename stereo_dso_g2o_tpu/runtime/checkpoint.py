@@ -76,6 +76,8 @@ def save(fs: "FullSystem", path: str):
             n_ref_levels=len(fs.tracker.ref) if fs.tracker.ref else 0,
         ),
         selector_pot=fs.selector.current_potential,
+        selector_seed=fs.selector._seed,
+        selector_calls=fs.selector._calls,
         settings=fs.settings,
     )
     with open(path + ".meta", "wb") as f:
@@ -131,4 +133,8 @@ def load(path: str, calib) -> "FullSystem":
     fs.tracker.ref_frame_id = tm["ref_frame_id"]
     fs.tracker.first_coarse_rmse = tm["first_coarse_rmse"]
     fs.selector.current_potential = meta["selector_pot"]
+    # the selection salt counter must survive or the resumed run seeds
+    # different immature points than the uninterrupted one
+    fs.selector._seed = meta.get("selector_seed", fs.selector._seed)
+    fs.selector._calls = meta.get("selector_calls", 0)
     return fs

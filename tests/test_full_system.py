@@ -138,6 +138,13 @@ def test_garbage_input_no_crash():
         left = rng.uniform(0, 255, (H_, W_)).astype(np.float32)
         right = rng.uniform(0, 255, (H_, W_)).astype(np.float32)
         fs.add_frame(left, right, i)
-    # any of these outcomes is acceptable; the invariant is "still standing"
+    # any of these outcomes is acceptable; the invariant is "still standing".
+    # Declaring the run lost and stopping early is the reference's own
+    # behavior on unrecoverable input (isLost -> abort, main:516-519).
     assert isinstance(fs.init_failed, bool)
-    assert len(fs.trajectory()) == 5
+    traj = fs.trajectory()
+    assert 1 <= len(traj) <= 5
+    if len(traj) < 5 or not all(np.isfinite(T).all() for T in traj):
+        # a non-finite pose or an early stop is only acceptable if the
+        # system DECLARED the failure (the reference aborts on isLost)
+        assert fs.is_lost or fs.init_failed
