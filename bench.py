@@ -39,8 +39,41 @@ if os.environ.get("SDSO_BENCH_SMALL") == "1":
     N_SEQ, N_FRAMES, W_, H_, BASE = 2, 40, 256, 128, 0.2
 
 
+def _render_one_sequence(s):
+    """Render one sequence (worker-process entry; returns picklable arrays)."""
+    from stereo_dso_g2o_tpu.io import synthetic
+
+    K = synthetic.default_K(W_, H_, fov_deg=80.0)
+    if os.environ.get("SDSO_BENCH_SMALL") == "1":
+        depth_range, lateral, backdrop, step = (5.0, 14.0), 6.0, 22.0, 0.12
+    else:
+        depth_range, lateral, backdrop, step = (12.0, 45.0), 14.0, 70.0, 0.30
+    scene = synthetic.box_scene(
+        seed=100 + s, n_boxes=6, depth_range=depth_range, lateral=lateral,
+        backdrop_dist=backdrop,
+    )
+    poses_cw = synthetic.forward_trajectory(
+        N_FRAMES, step=step, yaw_amp=0.10, yaw_period=80.0, seed=s
+    )
+    frames, poses = [], []
+    for i, T in enumerate(poses_cw):
+        expo = 1.0 + 0.12 * np.sin(0.25 * i + s)
+        left, right, _ = synthetic.render_multi_stereo_pair(
+            scene, K, W_, H_, BASE, T, exposure=expo
+        )
+        l8 = np.clip(left, 0, 255).astype(np.uint8)
+        r8 = np.clip(right, 0, 255).astype(np.uint8)
+        frames.append((l8, r8))
+        poses.append(np.linalg.inv(T))
+    return frames, poses
+
+
 def render_sequences():
-    """Render (or load) N_SEQ hostile sequences + GT poses, uint8."""
+    """Render (or load) N_SEQ hostile sequences + GT poses, uint8.
+
+    Rendering is the dominant cold-start cost (~1 s/stereo pair x N_SEQ x
+    N_FRAMES of host numpy ray-casting), so sequences render in parallel
+    worker processes and cache to .cache/ for warm runs."""
     from stereo_dso_g2o_tpu.io import synthetic
 
     cache = (
@@ -61,36 +94,26 @@ def render_sequences():
             seqs.append((frames, poses))
         return K, seqs
 
-    # scene scale must respect the rig: stereo disparity fx*B/z needs to sit
-    # between ~2 px (measurable) and maxPixSearch ~ 0.027*(W+H) (traceable)
-    if os.environ.get("SDSO_BENCH_SMALL") == "1":
-        depth_range, lateral, backdrop, step = (5.0, 14.0), 6.0, 22.0, 0.12
-    else:
-        depth_range, lateral, backdrop, step = (12.0, 45.0), 14.0, 70.0, 0.30
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
+    # spawn (not fork): the parent may already hold a live TPU client whose
+    # gRPC threads do not survive fork; workers are numpy-only
+    with ProcessPoolExecutor(
+        max_workers=min(N_SEQ, os.cpu_count() or 1),
+        mp_context=mp.get_context("spawn"),
+    ) as ex:
+        results = list(ex.map(_render_one_sequence, range(N_SEQ)))
+
     arrays = {}
     seqs = []
-    for s in range(N_SEQ):
-        scene = synthetic.box_scene(
-            seed=100 + s, n_boxes=6, depth_range=depth_range, lateral=lateral,
-            backdrop_dist=backdrop,
-        )
-        poses_cw = synthetic.forward_trajectory(
-            N_FRAMES, step=step, yaw_amp=0.10, yaw_period=80.0, seed=s
-        )
-        frames, poses = [], []
-        for i, T in enumerate(poses_cw):
-            expo = 1.0 + 0.12 * np.sin(0.25 * i + s)
-            left, right, _ = synthetic.render_multi_stereo_pair(
-                scene, K, W_, H_, BASE, T, exposure=expo
-            )
-            l8 = np.clip(left, 0, 255).astype(np.uint8)
-            r8 = np.clip(right, 0, 255).astype(np.uint8)
-            frames.append((l8, r8))
-            poses.append(np.linalg.inv(T))
-            arrays[f"l{s}_{i}"] = l8
-            arrays[f"r{s}_{i}"] = r8
-            arrays[f"p{s}_{i}"] = poses[-1]
+    for s, (frames, poses) in enumerate(results):
+        for i in range(N_FRAMES):
+            arrays[f"l{s}_{i}"] = frames[i][0]
+            arrays[f"r{s}_{i}"] = frames[i][1]
+            arrays[f"p{s}_{i}"] = poses[i]
         seqs.append((frames, poses))
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
     np.savez_compressed(cache, **arrays)
     return K, seqs
 
