@@ -174,10 +174,14 @@ def main():
     single_fps = 1.0 / dt_single
 
     traj = gs.trajectory()
-    ate = trajectory.ate_rmse(traj, poses0)
-    rel_t, rel_r = trajectory.kitti_rel_errors(
-        traj, poses0, lengths=(10, 20, 30, 40), step=5
-    )
+    n_finite = int(sum(bool(np.isfinite(T).all()) for T in traj))
+    try:
+        ate = trajectory.ate_rmse(traj, poses0)
+        rel_t, rel_r = trajectory.kitti_rel_errors(
+            traj, poses0, lengths=(10, 20, 30, 40), step=5
+        )
+    except Exception:
+        ate, rel_t, rel_r = float("nan"), float("nan"), float("nan")
     n_kfs = len(gs.kf_shells)
 
     # ---- FLOPs of the fused frame program (for the MFU proxy) ----
@@ -227,7 +231,11 @@ def main():
         "vs_baseline": round(agg_fps / baseline_fps, 3),
         "single_seq_fps": round(single_fps, 2),
         "n_seq_batched": N_SEQ,
-        "ate_rmse_m": round(float(ate), 4),
+        "ate_rmse_m": (
+            round(float(ate), 4) if np.isfinite(ate) else None
+        ),
+        "n_finite_frames": n_finite,
+        "lost": bool(gs.is_lost),
         # rel errors need >=10 m segments; guard so the JSON stays parseable
         "kitti_rel_trans_pct": (
             round(rel_t, 3) if np.isfinite(rel_t) else None

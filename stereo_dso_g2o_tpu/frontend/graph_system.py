@@ -21,8 +21,8 @@ frame — keyframe or not — is ONE dispatch plus ONE small scalar fetch:
                 reference rebuild, pixel selection + immature seeding,
                 flagged-frame marginalization — all as traced code.
 
-Everything is fixed-shape, so the program compiles once (per selector
-potential, which is a static reshape stride). A leading sequence axis turns
+Everything is fixed-shape and the selector potential is a traced scalar, so
+the program compiles exactly once. A leading sequence axis turns
 the same program into the config-4 multi-sequence throughput path (vmap) —
 see parallel/batched.py.
 
@@ -522,7 +522,7 @@ def _kf_branch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "n_levels", "n_tries", "pot", "caps",
+    static_argnames=("settings", "n_levels", "n_tries", "caps",
                      "w0", "h0", "imm_cap"),
 )
 def frame_auto(
@@ -632,7 +632,7 @@ def frame_track(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "n_levels", "pot", "caps", "w0", "h0",
+    static_argnames=("settings", "n_levels", "caps", "w0", "h0",
                      "imm_cap"),
 )
 def frame_kf(

@@ -55,12 +55,23 @@ def _umeyama(src, dst, with_scale=False):
 
 
 def ate_rmse(est: Sequence[np.ndarray], gt: Sequence[np.ndarray], align_scale=False):
-    """Absolute trajectory error after alignment. Poses are camToWorld."""
+    """Absolute trajectory error after alignment. Poses are camToWorld.
+
+    Non-finite estimated poses (tracking lost / diverged) are excluded from
+    the alignment pair set rather than poisoning the SVD; returns NaN when
+    fewer than 3 finite pairs remain."""
     p_est = np.array([T[:3, 3] for T in est])
     p_gt = np.array([T[:3, 3] for T in gt])
     n = min(len(p_est), len(p_gt))
     p_est, p_gt = p_est[:n], p_gt[:n]
-    s, R, t = _umeyama(p_est, p_gt, with_scale=align_scale)
+    ok = np.isfinite(p_est).all(axis=1) & np.isfinite(p_gt).all(axis=1)
+    p_est, p_gt = p_est[ok], p_gt[ok]
+    if len(p_est) < 3:
+        return float("nan")
+    try:
+        s, R, t = _umeyama(p_est, p_gt, with_scale=align_scale)
+    except np.linalg.LinAlgError:
+        return float("nan")
     aligned = (s * (R @ p_est.T)).T + t
     err = np.linalg.norm(aligned - p_gt, axis=1)
     return float(np.sqrt(np.mean(err**2)))
@@ -92,6 +103,10 @@ def kitti_rel_errors(
         for L in lengths:
             end = frame_at(start, L)
             if end < 0:
+                continue
+            if not (
+                np.isfinite(est[start]).all() and np.isfinite(est[end]).all()
+            ):
                 continue
             dgt = np.linalg.inv(gt[start]) @ gt[end]
             dest = np.linalg.inv(est[start]) @ est[end]

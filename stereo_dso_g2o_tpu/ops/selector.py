@@ -10,10 +10,12 @@ TPU-native rebuild of PixelSelector2 (FullSystem/PixelSelector2.{h,cpp}):
   0.75x threshold), then level-2 (4pot cells, 0.75^3 x threshold)
 - recursive density adjustment + random subsampling (makeMaps, :192-330)
 
-The reference's sequential quad-nested argmax loops become reshape-based
-masked block reductions; its randomPattern direction table is kept, indexed by
-a per-cell integer hash instead of a global rand() stream (behaviourally
-equivalent: a fixed pseudo-random direction per cell).
+The reference's sequential quad-nested argmax loops become scatter-max
+cell reductions (one winner per pot cell via per-cell max + first-index
+tie-break) — `pot` is a TRACED scalar, so adapting the selection density
+never recompiles the fused frame program. The randomPattern direction table
+is kept, indexed by a per-cell integer hash instead of a global rand()
+stream (behaviourally equivalent: a fixed pseudo-random direction per cell).
 """
 
 from __future__ import annotations
@@ -112,21 +114,26 @@ class Selection(NamedTuple):
     counts: jax.Array  # (3,) int32 — per-level selection counts
 
 
-@functools.partial(jax.jit, static_argnames=("pot", "settings"))
+@functools.partial(jax.jit, static_argnames=("settings",))
 def select(
     dI0: jax.Array,
     asg0: jax.Array,
     asg1: jax.Array,
     asg2: jax.Array,
     ths_smoothed: jax.Array,
-    pot: int,
+    pot,
     th_factor: float = 1.0,
     salt: int = 0,
     settings: Settings = default_settings(),
 ) -> Selection:
-    """One selection pass at a fixed potential (PixelSelector2::select)."""
+    """One selection pass at potential `pot` (PixelSelector2::select).
+
+    `pot` is traced (dynamic): the per-cell winner is computed with
+    scatter-max over cell ids rather than a pot-strided reshape, so density
+    adaptation does not trigger recompilation of callers."""
     H, W = asg0.shape
     dirs = jnp.asarray(_DIRECTIONS)
+    pot = jnp.asarray(pot, jnp.int32)
 
     xs = jnp.arange(W)
     ys = jnp.arange(H)
@@ -174,6 +181,8 @@ def select(
     by1 = (ys // (2 * pot)).astype(jnp.uint32)
     bx2 = (xs // (4 * pot)).astype(jnp.uint32)
     by2 = (ys // (4 * pot)).astype(jnp.uint32)
+    ys2 = ys[:, None]
+    xs2 = xs[None, :]
 
     def dir_field(bx, by, s):
         idx = _cell_hash(by[:, None], bx[None, :], s)
@@ -191,64 +200,51 @@ def select(
         dn0, dn1, dn2 = asg0, ag1, ag2
 
     NEG = jnp.float32(-1.0)  # dirNorm >= 0, so -1 marks "not a candidate"
-    v0 = jnp.where(pass0, dn0, NEG)
-    v1 = jnp.where(pass1, dn1, NEG)
-    v2 = jnp.where(pass2, dn2, NEG)
+    v0 = jnp.where(pass0, dn0, NEG).ravel()
+    v1 = jnp.where(pass1, dn1, NEG).ravel()
+    v2 = jnp.where(pass2, dn2, NEG).ravel()
 
-    # pad to a multiple of 4*pot
-    B = 4 * pot
-    Hp = ((H + B - 1) // B) * B
-    Wp = ((W + B - 1) // B) * B
+    # one winner per cell via scatter-max + first-flat-index tie-break
+    # (same winner as the reference's raster-scan argmax within each cell)
+    NPIX = H * W
+    flat_idx = jnp.arange(NPIX, dtype=jnp.int32)
 
-    def pad(x):
-        return jnp.pad(x, ((0, Hp - H), (0, Wp - W)), constant_values=NEG)
+    def cell_of(b):
+        return ((ys2 // b) * W + (xs2 // b)).ravel()
 
-    v0p, v1p, v2p = pad(v0), pad(v1), pad(v2)
+    def cell_winner(vflat, cell):
+        vmax = jnp.full((NPIX,), NEG, vflat.dtype).at[cell].max(vflat)
+        # bestVal2 starts at 0 (:446), so dirNorm must be > 0 to win
+        is_max = (vflat > 0) & (vflat == vmax[cell])
+        imin = (
+            jnp.full((NPIX,), NPIX, jnp.int32)
+            .at[cell]
+            .min(jnp.where(is_max, flat_idx, NPIX))
+        )
+        return is_max & (flat_idx == imin[cell])
 
-    def block_argmax(v, b):
-        """Per bxb block: (max value, flat index of argmax within the image)."""
-        hb, wb = Hp // b, Wp // b
-        vb = v.reshape(hb, b, wb, b).transpose(0, 2, 1, 3).reshape(hb, wb, b * b)
-        best = jnp.max(vb, axis=-1)
-        arg = jnp.argmax(vb, axis=-1)
-        iy = arg // b + jnp.arange(hb)[:, None] * b
-        ix = arg % b + jnp.arange(wb)[None, :] * b
-        return best, iy, ix
+    c0 = cell_of(pot)
+    c1 = cell_of(2 * pot)
+    c2 = cell_of(4 * pot)
 
     # level 0: one winner per pot cell
-    b0v, b0y, b0x = block_argmax(v0p, pot)
-    sel0 = b0v > 0  # bestVal2 starts at 0 (:446), so dirNorm must be > 0
-
+    sel0 = cell_winner(v0, c0)
     # level 1: one winner per 2pot cell, only if no level-0 winner inside
-    b1v, b1y, b1x = block_argmax(v1p, 2 * pot)
-    h1, w1 = b1v.shape
-    sel0_any = (
-        sel0.reshape(h1, 2, w1, 2).transpose(0, 2, 1, 3).reshape(h1, w1, 4).any(-1)
+    any0_1 = (
+        jnp.zeros((NPIX,), jnp.int32).at[c1].max(sel0.astype(jnp.int32))
     )
-    sel1 = (~sel0_any) & (b1v > 0)
-
+    sel1 = cell_winner(v1, c1) & (any0_1[c1] == 0)
     # level 2: one winner per 4pot cell, only if nothing selected inside
-    b2v, b2y, b2x = block_argmax(v2p, 4 * pot)
-    h2, w2 = b2v.shape
-    sel1_any = (
-        sel1.reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3).reshape(h2, w2, 4).any(-1)
+    any01_2 = (
+        jnp.zeros((NPIX,), jnp.int32)
+        .at[c2]
+        .max((sel0 | sel1).astype(jnp.int32))
     )
-    sel0_any2 = (
-        sel0_any.reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3).reshape(h2, w2, 4).any(-1)
-    )
-    sel2 = (~sel0_any2) & (~sel1_any) & (b2v > 0)
+    sel2 = cell_winner(v2, c2) & (any01_2[c2] == 0)
 
-    status = jnp.zeros((Hp, Wp), dtype=jnp.int32)
-    status = status.at[b0y.ravel(), b0x.ravel()].max(
-        jnp.where(sel0, 1, 0).ravel().astype(jnp.int32)
-    )
-    status = status.at[b1y.ravel(), b1x.ravel()].max(
-        jnp.where(sel1, 2, 0).ravel().astype(jnp.int32)
-    )
-    status = status.at[b2y.ravel(), b2x.ravel()].max(
-        jnp.where(sel2, 4, 0).ravel().astype(jnp.int32)
-    )
-    status = status[:H, :W]
+    status = (
+        jnp.where(sel0, 1, 0) + jnp.where(sel1, 2, 0) + jnp.where(sel2, 4, 0)
+    ).reshape(H, W).astype(jnp.int32)
 
     counts = jnp.stack(
         [jnp.sum(sel0), jnp.sum(sel1), jnp.sum(sel2)]

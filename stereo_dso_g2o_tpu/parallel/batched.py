@@ -22,8 +22,9 @@ Two dispatch modes (`kf_mode`):
 
 All sequences must share resolution/calibration shape (KITTI-style fleets
 do; per-sequence intrinsics VALUES may differ — they are traced inputs).
-The pixel-selector potential is shared (static reshape stride), adapted from
-the mean yield.
+The pixel-selector potential is traced and PER-SEQUENCE: each sequence's
+host adaptation (GraphSystem.apply_bundle) feeds back into the batched
+dispatch without recompiling.
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ from stereo_dso_g2o_tpu.frontend.graph_system import (
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "n_levels", "n_tries", "pot", "caps",
+    static_argnames=("settings", "n_levels", "n_tries", "caps",
                      "w0", "h0", "imm_cap"),
 )
 def frame_auto_batched(
@@ -58,16 +59,16 @@ def frame_auto_batched(
     calib_cs,  # (N, 4)
     baselines,  # (N,)
     exposures,  # (N,)
+    pots,  # (N,) int32 per-sequence selector potential
     settings: Settings = default_settings(),
     n_levels: int = 6,
     n_tries: int = 5,
-    pot: int = 3,
     caps: Tuple[int, ...] = (),
     w0: int = 0,
     h0: int = 0,
     imm_cap: int = 2048,
 ):
-    def one(state, left, right, cc, bl, expo):
+    def one(state, left, right, cc, bl, expo, pot):
         return frame_auto(
             state, left, right, cc, bl, expo,
             settings=settings, n_levels=n_levels, n_tries=n_tries,
@@ -75,7 +76,7 @@ def frame_auto_batched(
         )
 
     return jax.vmap(one)(
-        states, lefts, rights, calib_cs, baselines, exposures,
+        states, lefts, rights, calib_cs, baselines, exposures, pots,
     )
 
 
@@ -138,7 +139,6 @@ class BatchedRunner:
         self.calib = cal0
         self.settings = systems[0].settings
         self.caps = systems[0].caps
-        self.pot = systems[0].pot
         self.states = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[gs.state for gs in systems]
         )
@@ -171,10 +171,11 @@ class BatchedRunner:
             w0=self.calib.w[0], h0=self.calib.h[0],
         )
 
+        pots = jnp.asarray([gs.pot for gs in self.systems], jnp.int32)
         if self.kf_mode == "fused":
             states, bundles = frame_auto_batched(
                 self.states, lefts, rights, self.calib_cs, self.baselines,
-                expos, n_tries=5, pot=self.pot, caps=self.caps,
+                expos, pots, n_tries=5, caps=self.caps,
                 imm_cap=self.settings.immature_cap, **common,
             )
             self.states = states
@@ -190,7 +191,7 @@ class BatchedRunner:
                 st_i, b_i = frame_kf(
                     _tree_slice(states_pre, i), _tree_slice(aux, i),
                     self.calib_cs[i], self.baselines[i], expos[i],
-                    pot=self.pot, caps=self.caps,
+                    pot=pots[i], caps=self.caps,
                     imm_cap=self.settings.immature_cap, **common,
                 )
                 states = _tree_merge(states, st_i, i)
@@ -205,26 +206,12 @@ class BatchedRunner:
     def _drain_one(self):
         bundles, frame_id, timestamp = self._pending_q.pop(0)
         b_all = jax.device_get(bundles)
-        sel_yields = []
         for k, gs in enumerate(self.systems):
             bk = jax.tree.map(lambda x: x[k], b_all)
+            # apply_bundle also adapts gs.pot per sequence; the stale-by-lag
+            # value feeds the next dispatch (traced, so no recompile)
             gs.apply_bundle(bk, frame_id, timestamp,
                             len(gs.kf_shells) - 1)
-            if bool(bk.need_kf):
-                sel_yields.append(float(bk.sel_num))
-        # shared selector-potential adaptation from the mean KF yield
-        if sel_yields:
-            s = self.settings
-            num_have = float(np.mean(sel_yields))
-            quotia = s.desired_immature_density / max(num_have, 1.0)
-            K = num_have * (self.pot + 1) ** 2
-            ideal = max(int(np.sqrt(K / s.desired_immature_density) - 1), 1)
-            if quotia > 1.25 and self.pot > 1:
-                self.pot = max(min(ideal, self.pot - 1), 1)
-            elif quotia < 0.25:
-                self.pot = max(ideal, self.pot + 1)
-            else:
-                self.pot = max(ideal, 1)
         return b_all
 
     def flush(self):
