@@ -45,12 +45,15 @@ def _render_one_sequence(s):
 
     K = synthetic.default_K(W_, H_, fov_deg=80.0)
     if os.environ.get("SDSO_BENCH_SMALL") == "1":
-        depth_range, lateral, backdrop, step = (5.0, 14.0), 6.0, 22.0, 0.12
+        lateral, box_spacing, step = 6.0, 5.0, 0.12
     else:
-        depth_range, lateral, backdrop, step = (12.0, 45.0), 14.0, 70.0, 0.30
-    scene = synthetic.box_scene(
-        seed=100 + s, n_boxes=6, depth_range=depth_range, lateral=lateral,
-        backdrop_dist=backdrop,
+        lateral, box_spacing, step = 14.0, 9.0, 0.30
+    # corridor long enough that structure stays 5-40 m ahead for EVERY frame
+    # (box_scene's fixed depth band gets driven through on 200-frame runs —
+    # the round-2 bench diverged exactly that way)
+    scene = synthetic.corridor_scene(
+        seed=100 + s, length=step * N_FRAMES + 40.0, box_spacing=box_spacing,
+        lateral=lateral,
     )
     poses_cw = synthetic.forward_trajectory(
         N_FRAMES, step=step, yaw_amp=0.10, yaw_period=80.0, seed=s
@@ -77,9 +80,9 @@ def render_sequences():
     from stereo_dso_g2o_tpu.io import synthetic
 
     cache = (
-        "/root/repo/.cache/bench_frames_v3.npz"
+        "/root/repo/.cache/bench_frames_v4.npz"
         if os.environ.get("SDSO_BENCH_SMALL") != "1"
-        else f"/root/repo/.cache/bench_small_{W_}x{H_}_{N_SEQ}x{N_FRAMES}.npz"
+        else f"/root/repo/.cache/bench_small_v4_{W_}x{H_}_{N_SEQ}x{N_FRAMES}.npz"
     )
     K = synthetic.default_K(W_, H_, fov_deg=80.0)
     if os.path.exists(cache):
@@ -137,12 +140,18 @@ def main():
     from stereo_dso_g2o_tpu.models.camera import make_calib
     from stereo_dso_g2o_tpu.parallel.batched import BatchedRunner
 
+    # exposure is synthesized but NOT fed to the engine — uncalibrated
+    # input, so affine brightness must be free (the reference's KITTI
+    # operating point: mode=1 sets setting_affineOptModeA/B = 0,
+    # main_dso_pangolin.cpp:326-327)
     if os.environ.get("SDSO_BENCH_SMALL") == "1":
         settings = Settings(
             desired_point_density=600.0,
             desired_immature_density=450.0,
             immature_cap=512,
             active_cap=1024,
+            affine_opt_mode_a=0.0,
+            affine_opt_mode_b=0.0,
         )
     else:
         settings = Settings(
@@ -150,6 +159,8 @@ def main():
             desired_immature_density=1500.0,
             immature_cap=2048,
             active_cap=2048,
+            affine_opt_mode_a=0.0,
+            affine_opt_mode_b=0.0,
         )
     K, seqs = render_sequences()
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_,

@@ -515,6 +515,17 @@ def solve_system(
     HFinal = HFinal.at[diag, diag].add(jnp.where(slot_active, 0.0, 1.0))
     bFinal = jnp.where(slot_active, bFinal, 0.0)
 
+    # zero-information dimensions (e.g. the pose block of a keyframe whose
+    # residuals all died and that has no marginal-prior coverage yet): H is a
+    # sum of PSD terms, so a ~zero diagonal implies a ~zero row — exactly
+    # singular. Unit-pin those dims (zero step) instead of letting the LU
+    # solve produce NaN for the whole window. The reference never hits this
+    # (its double LDLT + per-point graph keeps such frames out), but the
+    # fixed-capacity window can transiently hold an unsupported frame.
+    no_info = jnp.abs(HFinal[diag, diag]) < 1e-6
+    HFinal = HFinal.at[diag, diag].add(jnp.where(no_info, 1.0, 0.0))
+    bFinal = jnp.where(no_info, 0.0, bFinal)
+
     SVecI = 1.0 / jnp.sqrt(jnp.abs(HFinal[diag, diag]) + 10.0)
     Hs = SVecI[:, None] * HFinal * SVecI[None, :]
     bs = SVecI * bFinal
@@ -525,6 +536,11 @@ def solve_system(
         N = nullspaces(win)
         x_orth = orthogonalize(x, N)
         x = jnp.where(iteration >= 2, x_orth, x)
+
+    # step-sanity gate: a non-finite solve (numerically singular reduced
+    # system) must not poison the window state — reject the whole step
+    # (zero increments also read as converged, ending the LM loop early).
+    x = jnp.where(jnp.isfinite(x).all(), x, jnp.zeros_like(x))
 
     # resubstitute (EnergyFunctional.cpp:272-341)
     step_c = -x[:CPARS]
@@ -796,18 +812,23 @@ def flag_points_for_removal(
         & (win.pt_num_good_res > settings.min_good_res_for_marg + 10)
         & (nres - vis_in_to_marg < settings.min_good_active_res_for_marg)
     )
-    lr0_exists = win.res_exists[:, last_slot]
+    # lastResiduals[k].second semantics: the RECORDED state outlives the
+    # residual's removal (linearizeAll's toRemove zeroes .first but keeps
+    # .second, FullSystemOptimize.cpp:165-200; isOOB reads .second only,
+    # HessianBlocks.h:458-460). Our res_state column retains that recorded
+    # state after linearize_all_final prunes res_exists, so do NOT gate on
+    # existence — gating on it silently disabled the OOB rule, letting
+    # points invisible in the newest KFs (and their host frames) linger in
+    # the window forever and starving new keyframes of residual support.
     lr0_state = win.res_state[:, last_slot]
     prev_ok = prev_slot >= 0
     safe_prev = jnp.maximum(prev_slot, 0)
-    lr1_exists = win.res_exists[:, safe_prev] & prev_ok
     lr1_state = win.res_state[:, safe_prev]
-    oob_b = lr0_exists & (lr0_state == W.RES_OOB)
+    oob_b = lr0_state == W.RES_OOB
     oob_c = (
         (nres >= 2)
-        & lr0_exists
         & (lr0_state == W.RES_OUTLIER)
-        & lr1_exists
+        & prev_ok
         & (lr1_state == W.RES_OUTLIER)
     )
     host_flagged = frames_to_marg[win.pt_host]

@@ -508,11 +508,13 @@ def kf_finalize(
     win = ba.flag_points_for_removal(
         win, dI_stack, frames_to_marg, slot, prev_slot, settings=settings
     )
+    n_marg = jnp.sum(win.pt_status == W.PT_MARGINALIZE).astype(jnp.int32)
+    n_drop = jnp.sum(win.pt_status == W.PT_DROP).astype(jnp.int32)
     gone = (win.pt_status == W.PT_MARGINALIZE) | (win.pt_status == W.PT_DROP)
     win = ba.marginalize_points(win, settings=settings)
     w2c = win.w2c()
     aff_all = win.aff_g2l()
-    return win, ref_inputs, gone, w2c, aff_all, energy
+    return win, ref_inputs, gone, w2c, aff_all, energy, (n_marg, n_drop)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_levels"))

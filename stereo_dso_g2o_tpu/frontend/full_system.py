@@ -547,7 +547,8 @@ class FullSystem:
         from stereo_dso_g2o_tpu.frontend import frame_step as FS
         prev_slot = self.kf_slots[-2] if len(self.kf_slots) >= 2 else -1
         with PROF.section("kf.finalize", lambda: self.win):
-            self.win, ref_inputs, gone_dev, w2c_dev, aff_dev, _ = FS.kf_finalize(
+            self.win, ref_inputs, gone_dev, w2c_dev, aff_dev, _, _stats = \
+                FS.kf_finalize(
                 self.win, dI_stack, self.dI_slots[slot][0],
                 self.right_slots[slot], jnp.asarray(slot),
                 jnp.asarray(flagged), jnp.asarray(prev_slot),

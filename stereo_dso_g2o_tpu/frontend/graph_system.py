@@ -110,6 +110,13 @@ class FrameBundle(NamedTuple):
     nres: jax.Array  # ()
     sel_num: jax.Array  # () selector yield (for host pot adaptation)
     n_active: jax.Array  # ()
+    # per-KF point-lifecycle stats (the reference's printLogLine counters,
+    # FullSystem.cpp:1646-1687): activated, immature alive, marginalized,
+    # dropped — zero on non-KF frames
+    n_activated: jax.Array  # ()
+    n_imm: jax.Array  # ()
+    n_marg: jax.Array  # ()
+    n_dropped: jax.Array  # ()
 
 
 # ---------------------------------------------------------------------------
@@ -354,6 +361,10 @@ def _nonkf_branch(state: GraphState, imm_spec, track, T_best, aff_best,
         n_active=jnp.sum(state.win.pt_status == W.PT_ACTIVE).astype(
             jnp.int32
         ),
+        n_activated=jnp.asarray(0, jnp.int32),
+        n_imm=jnp.sum(imm_spec.valid).astype(jnp.int32),
+        n_marg=jnp.asarray(0, jnp.int32),
+        n_dropped=jnp.asarray(0, jnp.int32),
     )
     return st, bundle
 
@@ -427,7 +438,8 @@ def _kf_branch(
             imm, cand_flat, pre["RTll"], pre["tTll"], pre["aff"],
             win.frame_valid, dI0, win.c_value, settings=s,
         )
-        win, imm, _ = IMM.insert_activated(win, imm, act, settings=s)
+        win, imm, n_activated = IMM.insert_activated(win, imm, act,
+                                                     settings=s)
 
         # STEP 6: windowed BA (steady-state window: standard iteration cap)
         win, energy, nres = ba.optimize_fused(
@@ -436,7 +448,8 @@ def _kf_branch(
 
         # STEPS 7-8: final linearization, outlier removal, tracking-ref
         # inputs, point flagging + marginalization
-        win, ref_inputs, gone, w2c_post, aff_all, _ = FS.kf_finalize(
+        win, ref_inputs, gone, w2c_post, aff_all, _, (n_marg, n_drop) = \
+            FS.kf_finalize(
             win, dI0, dIpL[0], dIpR0, slot, flagged,
             state.ref_slot, calib_c, baseline,
             settings=s, n_levels=n_levels,
@@ -491,7 +504,12 @@ def _kf_branch(
             ref_exposure=new_exposure,
             dI0_slots=dI0,
             last_rmse0=new_last,
-            first_rmse=new_first,
+            # firstCoarseRMSE is per tracking reference: reset on every new
+            # KF (CoarseTracker.cpp:803,823 via setCoarseTrackingRef); the
+            # next frame's RMSE against the new reference becomes "first".
+            # A stale value makes `2*first < rmse` fire on every frame,
+            # collapsing the KF cadence (and immature-point lifetimes).
+            first_rmse=jnp.asarray(-1.0, jnp.float32),
             kf_out_count=kf_out,
             min_act_dist=mad,
             next_kf_id=(kf_id + 1).astype(state.next_kf_id.dtype),
@@ -516,6 +534,10 @@ def _kf_branch(
             energy=energy.astype(jnp.float32), nres=nres.astype(jnp.int32),
             sel_num=num_have.astype(jnp.int32),
             n_active=n_active,
+            n_activated=n_activated.astype(jnp.int32),
+            n_imm=jnp.sum(imm.valid).astype(jnp.int32),
+            n_marg=n_marg,
+            n_dropped=n_drop,
         )
         return st, bundle
 
@@ -878,7 +900,12 @@ class GraphSystem:
                 self.pot = max(ideal, self.pot + 1)
             else:
                 self.pot = max(ideal, 1)
-        if not np.isfinite(float(b.energy)) and bool(b.need_kf):
+        if bool(b.need_kf) and (
+            not np.isfinite(float(b.energy)) or int(b.nres) == 0
+        ):
+            # non-finite BA energy, or a window with zero surviving
+            # residuals: the map is dead — surface it like tracking loss
+            # (FullSystem::isLost; the CLI performs the full reset)
             self.is_lost = True
         return b
 
