@@ -992,30 +992,32 @@ def optimize_fused(
     settings: Settings = default_settings(),
     max_its: int = 6,
 ):
-    """The whole GN loop as ONE device program (fori_loop with a done flag —
-    converged iterations freeze the state instead of exiting early, which is
-    equivalent under setting_forceAceptStep)."""
+    """The whole GN loop as ONE device program. lax.while_loop so converged
+    runs actually stop iterating (the fori_loop+done-flag formulation still
+    paid all max_its linearizations and discarded the converged ones — a
+    measured ~40% of the 133 ms steady-state BA cost)."""
 
-    def body(it, carry):
-        win_c, energy, nres, done = carry
+    def cond(carry):
+        _, _, _, done, it = carry
+        return (it < max_its) & ~done
+
+    def body(carry):
+        win_c, _, _, done, it = carry
         win_n, e, conv, nr = ba_iteration(
             win_c, dI_stack, it, settings=settings
         )
-        win_out = jax.tree.map(
-            lambda a, b: jnp.where(done, a, b), win_c, win_n
-        )
-        e_out = jnp.where(done, energy, e).astype(jnp.float32)
-        nr_out = jnp.where(done, nres, nr).astype(jnp.int32)
-        done_out = done | (conv & (it + 1 >= settings.min_opt_iterations))
-        return (win_out, e_out, nr_out, done_out)
+        done_out = conv & (it + 1 >= settings.min_opt_iterations)
+        return (win_n, e.astype(jnp.float32), nr.astype(jnp.int32),
+                done_out, it + 1)
 
     init = (
         win,
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
     )
-    win, energy, nres, _ = jax.lax.fori_loop(0, max_its, body, init)
+    win, energy, nres, _, _ = jax.lax.while_loop(cond, body, init)
     return win, energy, nres
 
 

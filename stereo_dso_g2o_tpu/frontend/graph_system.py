@@ -895,11 +895,11 @@ class GraphSystem:
                 int(np.sqrt(K / s.desired_immature_density) - 1), 1
             )
             if quotia > 1.25 and self.pot > 1:
-                self.pot = max(min(ideal, self.pot - 1), 1)
+                self.pot = SEL.snap_pot(max(min(ideal, self.pot - 1), 1))
             elif quotia < 0.25:
-                self.pot = max(ideal, self.pot + 1)
+                self.pot = SEL.snap_pot(max(ideal, self.pot + 1))
             else:
-                self.pot = max(ideal, 1)
+                self.pot = SEL.snap_pot(max(ideal, 1))
         if bool(b.need_kf) and (
             not np.isfinite(float(b.energy)) or int(b.nres) == 0
         ):

@@ -10,10 +10,15 @@ TPU-native rebuild of PixelSelector2 (FullSystem/PixelSelector2.{h,cpp}):
   0.75x threshold), then level-2 (4pot cells, 0.75^3 x threshold)
 - recursive density adjustment + random subsampling (makeMaps, :192-330)
 
-The reference's sequential quad-nested argmax loops become scatter-max
-cell reductions (one winner per pot cell via per-cell max + first-index
-tie-break) — `pot` is a TRACED scalar, so adapting the selection density
-never recompiles the fused frame program. The randomPattern direction table
+The reference's sequential quad-nested argmax loops become per-cell
+block argmax reductions (reshape to (h/pot, pot, w/pot, pot) + argmax with
+raster tie-break — the same winner as the reference's scan order). `pot`
+stays a TRACED scalar so density adaptation never recompiles the fused
+frame program: the traced pot selects one of a small static set of
+compiled branches via `lax.switch` (each branch is the reshape argmax at
+one static pot). A pure scatter-max formulation was tried first and cost
+88 ms/call at KITTI resolution (five full-image scatters); the switch
+runs the single taken branch at ~2 ms. The randomPattern direction table
 is kept, indexed by a per-cell integer hash instead of a global rand()
 stream (behaviourally equivalent: a fixed pseudo-random direction per cell).
 """
@@ -114,6 +119,86 @@ class Selection(NamedTuple):
     counts: jax.Array  # (3,) int32 — per-level selection counts
 
 
+# Static potentials compiled as lax.switch branches. The host density
+# controller snaps its adapted potential to this set (snap_pot), so the
+# traced-pot dispatch always lands exactly on one branch.
+SUPPORTED_POTS = (1, 2, 3, 4, 5, 6, 8, 10, 12, 16)
+
+
+def snap_pot(pot: int) -> int:
+    """Nearest supported potential (ties -> smaller = denser)."""
+    return min(SUPPORTED_POTS, key=lambda p: (abs(p - pot), p))
+
+
+def _select_at_pot(v0, v1, v2, pot: int, H: int, W: int):
+    """3-scale cell-winner selection at one STATIC potential.
+
+    v0/v1/v2: (H, W) candidate scores (dirNorm, -1 where not a candidate).
+    Returns (status (H,W) int32, counts (3,)). Winner per cell = first
+    maximal score in raster order, matching the reference's scan
+    (PixelSelector2.cpp:340-500 keeps strictly-greater while scanning)."""
+    NEG = jnp.float32(-1.0)
+    B = 4 * pot
+    Hp = ((H + B - 1) // B) * B
+    Wp = ((W + B - 1) // B) * B
+
+    def pad(x):
+        return jnp.pad(x, ((0, Hp - H), (0, Wp - W)), constant_values=NEG)
+
+    v0p, v1p, v2p = pad(v0), pad(v1), pad(v2)
+
+    def block_argmax(v, b):
+        """Per bxb block: (max value, image coords of raster-first argmax)."""
+        hb, wb = Hp // b, Wp // b
+        vb = v.reshape(hb, b, wb, b).transpose(0, 2, 1, 3).reshape(hb, wb, b * b)
+        best = jnp.max(vb, axis=-1)
+        arg = jnp.argmax(vb, axis=-1)
+        iy = arg // b + jnp.arange(hb)[:, None] * b
+        ix = arg % b + jnp.arange(wb)[None, :] * b
+        return best, iy, ix
+
+    # level 0: one winner per pot cell (dirNorm must be > 0: bestVal2
+    # starts at 0, PixelSelector2.cpp:446)
+    b0v, b0y, b0x = block_argmax(v0p, pot)
+    sel0 = b0v > 0
+
+    # level 1: one winner per 2pot cell, only if no level-0 winner inside
+    b1v, b1y, b1x = block_argmax(v1p, 2 * pot)
+    h1, w1 = b1v.shape
+    sel0_any = (
+        sel0.reshape(h1, 2, w1, 2).transpose(0, 2, 1, 3).reshape(h1, w1, 4).any(-1)
+    )
+    sel1 = (~sel0_any) & (b1v > 0)
+
+    # level 2: one winner per 4pot cell, only if nothing selected inside
+    b2v, b2y, b2x = block_argmax(v2p, 4 * pot)
+    h2, w2 = b2v.shape
+    sel1_any = (
+        sel1.reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3).reshape(h2, w2, 4).any(-1)
+    )
+    sel0_any2 = (
+        sel0_any.reshape(h2, 2, w2, 2).transpose(0, 2, 1, 3).reshape(h2, w2, 4).any(-1)
+    )
+    sel2 = (~sel0_any2) & (~sel1_any) & (b2v > 0)
+
+    status = jnp.zeros((Hp, Wp), dtype=jnp.int32)
+    status = status.at[b0y.ravel(), b0x.ravel()].max(
+        jnp.where(sel0, 1, 0).ravel().astype(jnp.int32)
+    )
+    status = status.at[b1y.ravel(), b1x.ravel()].max(
+        jnp.where(sel1, 2, 0).ravel().astype(jnp.int32)
+    )
+    status = status.at[b2y.ravel(), b2x.ravel()].max(
+        jnp.where(sel2, 4, 0).ravel().astype(jnp.int32)
+    )
+    status = status[:H, :W]
+
+    counts = jnp.stack(
+        [jnp.sum(sel0), jnp.sum(sel1), jnp.sum(sel2)]
+    ).astype(jnp.int32)
+    return status, counts
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def select(
     dI0: jax.Array,
@@ -133,7 +218,10 @@ def select(
     adaptation does not trigger recompilation of callers."""
     H, W = asg0.shape
     dirs = jnp.asarray(_DIRECTIONS)
-    pot = jnp.asarray(pot, jnp.int32)
+    # snap the traced pot to the nearest supported static branch
+    pots = jnp.asarray(SUPPORTED_POTS, jnp.int32)
+    branch = jnp.argmin(jnp.abs(pots - jnp.asarray(pot, jnp.int32)))
+    pot = pots[branch]
 
     xs = jnp.arange(W)
     ys = jnp.arange(H)
@@ -181,8 +269,6 @@ def select(
     by1 = (ys // (2 * pot)).astype(jnp.uint32)
     bx2 = (xs // (4 * pot)).astype(jnp.uint32)
     by2 = (ys // (4 * pot)).astype(jnp.uint32)
-    ys2 = ys[:, None]
-    xs2 = xs[None, :]
 
     def dir_field(bx, by, s):
         idx = _cell_hash(by[:, None], bx[None, :], s)
@@ -200,55 +286,16 @@ def select(
         dn0, dn1, dn2 = asg0, ag1, ag2
 
     NEG = jnp.float32(-1.0)  # dirNorm >= 0, so -1 marks "not a candidate"
-    v0 = jnp.where(pass0, dn0, NEG).ravel()
-    v1 = jnp.where(pass1, dn1, NEG).ravel()
-    v2 = jnp.where(pass2, dn2, NEG).ravel()
+    v0 = jnp.where(pass0, dn0, NEG)
+    v1 = jnp.where(pass1, dn1, NEG)
+    v2 = jnp.where(pass2, dn2, NEG)
 
-    # one winner per cell via scatter-max + first-flat-index tie-break
-    # (same winner as the reference's raster-scan argmax within each cell)
-    NPIX = H * W
-    flat_idx = jnp.arange(NPIX, dtype=jnp.int32)
-
-    def cell_of(b):
-        return ((ys2 // b) * W + (xs2 // b)).ravel()
-
-    def cell_winner(vflat, cell):
-        vmax = jnp.full((NPIX,), NEG, vflat.dtype).at[cell].max(vflat)
-        # bestVal2 starts at 0 (:446), so dirNorm must be > 0 to win
-        is_max = (vflat > 0) & (vflat == vmax[cell])
-        imin = (
-            jnp.full((NPIX,), NPIX, jnp.int32)
-            .at[cell]
-            .min(jnp.where(is_max, flat_idx, NPIX))
-        )
-        return is_max & (flat_idx == imin[cell])
-
-    c0 = cell_of(pot)
-    c1 = cell_of(2 * pot)
-    c2 = cell_of(4 * pot)
-
-    # level 0: one winner per pot cell
-    sel0 = cell_winner(v0, c0)
-    # level 1: one winner per 2pot cell, only if no level-0 winner inside
-    any0_1 = (
-        jnp.zeros((NPIX,), jnp.int32).at[c1].max(sel0.astype(jnp.int32))
-    )
-    sel1 = cell_winner(v1, c1) & (any0_1[c1] == 0)
-    # level 2: one winner per 4pot cell, only if nothing selected inside
-    any01_2 = (
-        jnp.zeros((NPIX,), jnp.int32)
-        .at[c2]
-        .max((sel0 | sel1).astype(jnp.int32))
-    )
-    sel2 = cell_winner(v2, c2) & (any01_2[c2] == 0)
-
-    status = (
-        jnp.where(sel0, 1, 0) + jnp.where(sel1, 2, 0) + jnp.where(sel2, 4, 0)
-    ).reshape(H, W).astype(jnp.int32)
-
-    counts = jnp.stack(
-        [jnp.sum(sel0), jnp.sum(sel1), jnp.sum(sel2)]
-    ).astype(jnp.int32)
+    # dispatch to the static-pot branch (only the taken branch executes)
+    branches = [
+        functools.partial(_select_at_pot, pot=p, H=H, W=W)
+        for p in SUPPORTED_POTS
+    ]
+    status, counts = jax.lax.switch(branch, branches, v0, v1, v2)
     return Selection(status_map=status, counts=counts)
 
 
@@ -281,13 +328,13 @@ class PixelSelector:
             K = num_have * (pot + 1) * (pot + 1)
             ideal_pot = max(int(np.sqrt(K / density) - 1), 1)
             if recursion > 0 and quotia > 1.25 and pot > 1:
-                pot = min(ideal_pot, pot - 1)
+                pot = snap_pot(min(ideal_pot, pot - 1))
                 continue
             if recursion > 0 and quotia < 0.25:
-                pot = max(ideal_pot, pot + 1)
+                pot = snap_pot(max(ideal_pot, pot + 1))
                 continue
             break
-        self.current_potential = max(ideal_pot, 1)
+        self.current_potential = snap_pot(max(ideal_pot, 1))
 
         status = selm.status_map
         if quotia < 0.95:
