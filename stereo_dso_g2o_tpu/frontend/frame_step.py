@@ -405,20 +405,44 @@ def frame_step_full(
     dIpR, _ = build_pyramid(right.astype(jnp.float32), n_levels)
 
     abort_inf = jnp.full((n_levels,), jnp.inf, jnp.float32)
+
+    if settings.always_retry_ladder:
+        # TPU-native superset (see Settings.always_retry_ladder): ALL
+        # hypotheses run in ONE vmapped cascade — they share every image and
+        # reference operand, the point axis just gets n_tries x wider — then
+        # best-of selection with try-0 preference (trackNewCoarse STEP3).
+        # One cascade latency instead of two (serial try-0 + vmapped rest).
+        def one_try(T_init):
+            return track_cascade(
+                ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
+                new_exposure, abort_inf, settings,
+            )
+
+        tb = jax.vmap(one_try)(T_tries)
+        res_all = tb.residuals[:, 0]
+        ok_all = tb.ok & jnp.isfinite(res_all)
+        good0 = ok_all[0] & (tb.sat_frac0[0] <= 0.6)
+        best0 = jnp.where(good0, res_all[0], jnp.inf)
+        cand = jnp.where(ok_all, res_all, jnp.inf).at[0].set(jnp.inf)
+        kbest = jnp.argmin(cand)
+        k = jnp.where(cand[kbest] < best0, kbest, 0)
+        track = jax.tree_util.tree_map(lambda x: x[k], tb)
+        track = track._replace(ok=jnp.where(k == 0, good0, ok_all[k]))
+        imm_out = _nonkey_refine(
+            win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
+            new_exposure, ref_slot, baseline, settings,
+        )
+        return (dIpL, dIpR), imm_out, track, jnp.asarray(True)
+
     t0 = track_cascade(
         ref, dIpL, calib, T_tries[0], aff_init, ref_aff, ref_exposure,
         new_exposure, abort_inf, settings,
     )
     res0 = t0.residuals[0]
     good0 = t0.ok & jnp.isfinite(res0) & (t0.sat_frac0 <= 0.6)
-    if settings.always_retry_ladder:
-        # TPU-native superset: evaluate the whole hypothesis batch and keep
-        # the best (see Settings.always_retry_ladder)
-        need_ladder = jnp.asarray(True)
-    else:
-        need_ladder = ~(
-            good0 & (res0 < last_rmse0 * settings.re_track_threshold)
-        )
+    need_ladder = ~(
+        good0 & (res0 < last_rmse0 * settings.re_track_threshold)
+    )
 
     def with_ladder(_):
         def one(T_init):
@@ -459,10 +483,7 @@ def frame_step_full(
     def no_ladder(_):
         return t0
 
-    if settings.always_retry_ladder:
-        track = with_ladder(None)
-    else:
-        track = jax.lax.cond(need_ladder, with_ladder, no_ladder, None)
+    track = jax.lax.cond(need_ladder, with_ladder, no_ladder, None)
 
     imm_out = _nonkey_refine(
         win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
