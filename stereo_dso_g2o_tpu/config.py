@@ -97,9 +97,14 @@ class Settings:
     # hypotheses in the fused frame program (they are a vmapped batch axis —
     # nearly free) and keep the lowest-residual one, instead of engaging the
     # extra hypotheses only when try-0 regresses past re_track_threshold.
-    # Best-of-5 every frame removes init-dependent basin hopping on
-    # repetitive-texture scenes (measured: a hostile synthetic sequence goes
-    # 1.83 m -> 9.9 mm ATE); set False for strict reference gating.
+    # True: evaluate the whole motion-hypothesis ladder every frame as ONE
+    # vmapped cascade (a batch axis is nearly free on TPU and the fused frame
+    # program keeps a single static shape); False: reference-style lax.cond
+    # that skips the ladder when try-0 passes the accept gate. SELECTION is
+    # the reference's sequential policy either way (trackNewCoarse STEP2-4:
+    # ladder order, strict improvement, stop at the accept gate) — a pure
+    # best-of-residual selection was tried in round 2 and froze quantized
+    # rotation jumps into the trajectory on aliased texture (PERF.md round 3).
     always_retry_ladder: bool = True
 
     # -- residual count gates (settings.cpp:82-83) --

@@ -369,6 +369,34 @@ def cascade_batch(
     return jax.vmap(one)(T_inits)
 
 
+def _sequential_select(tb: TrackOut, last_rmse0, settings: Settings,
+                       n_tries: int) -> TrackOut:
+    """The reference's hypothesis selection (FullSystem::trackNewCoarse
+    STEP2-4, FullSystem.cpp:441-505) replayed over a PRE-COMPUTED hypothesis
+    batch: tries are considered in ladder order, a try takes over only when
+    it strictly improves the best level-0 residual so far, and consideration
+    stops once the accept gate (achievedRes < lastCoarseRMSE *
+    setting_reTrackThreshold) passes. Deviation from the serial original:
+    every hypothesis's cascade ran with an infinite abort threshold (they
+    execute concurrently, so there is no "best so far" to abort against) —
+    a strict superset of the tries the reference would have completed."""
+    res_all = tb.residuals[:, 0]
+    ok_all = tb.ok & jnp.isfinite(res_all)
+    thr = last_rmse0 * settings.re_track_threshold
+    achieved = jnp.asarray(jnp.inf, jnp.float32)
+    best_k = jnp.asarray(-1, jnp.int32)
+    stopped = jnp.asarray(False)
+    for k in range(n_tries):
+        take = (~stopped) & ok_all[k] & (res_all[k] < achieved)
+        best_k = jnp.where(take, k, best_k)
+        achieved = jnp.where(take, res_all[k], achieved)
+        stopped = stopped | ((best_k >= 0) & (achieved < thr))
+    k = jnp.maximum(best_k, 0)
+    sel = jax.tree_util.tree_map(lambda x: x[k], tb)
+    # tracking failed entirely -> predicted pose, ok=False (handled upstream)
+    return sel._replace(ok=best_k >= 0)
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "n_levels", "n_tries"))
 def frame_step_full(
     left,
@@ -406,38 +434,31 @@ def frame_step_full(
 
     abort_inf = jnp.full((n_levels,), jnp.inf, jnp.float32)
 
-    if settings.always_retry_ladder:
-        # TPU-native superset (see Settings.always_retry_ladder): ALL
-        # hypotheses run in ONE vmapped cascade — they share every image and
-        # reference operand, the point axis just gets n_tries x wider — then
-        # best-of selection with try-0 preference (trackNewCoarse STEP3).
-        # One cascade latency instead of two (serial try-0 + vmapped rest).
-        def one_try(T_init):
-            return track_cascade(
-                ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
-                new_exposure, abort_inf, settings,
-            )
+    def one_try(T_init):
+        return track_cascade(
+            ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
+            new_exposure, abort_inf, settings,
+        )
 
+    if settings.always_retry_ladder:
+        # ALL hypotheses run in ONE vmapped cascade — they share every image
+        # and reference operand, the point axis just gets n_tries x wider —
+        # then selection replays the reference's SEQUENTIAL semantics
+        # (trackNewCoarse STEP2-4): tries are considered in ladder order and
+        # consideration STOPS at the re-track accept gate, so in the normal
+        # case try-0 wins outright. A pure best-of-residual selection was
+        # tried in round 2 and measurably hurt: on aliased texture a wrong
+        # pose can beat the right one by ~2% residual, freezing quantized
+        # rotation jumps into the trajectory (PERF.md round 3).
         tb = jax.vmap(one_try)(T_tries)
-        res_all = tb.residuals[:, 0]
-        ok_all = tb.ok & jnp.isfinite(res_all)
-        good0 = ok_all[0] & (tb.sat_frac0[0] <= 0.6)
-        best0 = jnp.where(good0, res_all[0], jnp.inf)
-        cand = jnp.where(ok_all, res_all, jnp.inf).at[0].set(jnp.inf)
-        kbest = jnp.argmin(cand)
-        k = jnp.where(cand[kbest] < best0, kbest, 0)
-        track = jax.tree_util.tree_map(lambda x: x[k], tb)
-        track = track._replace(ok=jnp.where(k == 0, good0, ok_all[k]))
+        track = _sequential_select(tb, last_rmse0, settings, n_tries)
         imm_out = _nonkey_refine(
             win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
             new_exposure, ref_slot, baseline, settings,
         )
         return (dIpL, dIpR), imm_out, track, jnp.asarray(True)
 
-    t0 = track_cascade(
-        ref, dIpL, calib, T_tries[0], aff_init, ref_aff, ref_exposure,
-        new_exposure, abort_inf, settings,
-    )
+    t0 = one_try(T_tries[0])
     res0 = t0.residuals[0]
     good0 = t0.ok & jnp.isfinite(res0) & (t0.sat_frac0 <= 0.6)
     need_ladder = ~(
@@ -445,40 +466,11 @@ def frame_step_full(
     )
 
     def with_ladder(_):
-        def one(T_init):
-            return track_cascade(
-                ref, dIpL, calib, T_init, aff_init, ref_aff, ref_exposure,
-                new_exposure, abort_inf, settings,
-            )
-
-        tb = jax.vmap(one)(T_tries[1:])
-        # best-of selection: first take try0 if good, then any better-ok try
-        resb = tb.residuals[:, 0]
-        okb = tb.ok & jnp.isfinite(resb)
-        best_res = jnp.where(good0, res0, jnp.inf)
-        best_idx = jnp.asarray(-1)  # -1 = keep try 0
-
-        def fold(carry, k):
-            best_res, best_idx = carry
-            better = okb[k] & (resb[k] < best_res)
-            return (
-                jnp.where(better, resb[k], best_res),
-                jnp.where(better, k, best_idx),
-            ), None
-
-        (best_res, best_idx), _ = jax.lax.scan(
-            fold, (best_res, best_idx), jnp.arange(n_tries - 1)
+        tb = jax.vmap(one_try)(T_tries[1:])
+        full = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), t0, tb
         )
-        use0 = best_idx < 0
-        k = jnp.maximum(best_idx, 0)
-        return TrackOut(
-            T=jnp.where(use0, t0.T, tb.T[k]),
-            aff=jnp.where(use0, t0.aff, tb.aff[k]),
-            residuals=jnp.where(use0, t0.residuals, tb.residuals[k]),
-            flow=jnp.where(use0, t0.flow, tb.flow[k]),
-            ok=jnp.where(use0, good0, okb[k]),
-            sat_frac0=jnp.where(use0, t0.sat_frac0, tb.sat_frac0[k]),
-        )
+        return _sequential_select(full, last_rmse0, settings, n_tries)
 
     def no_ladder(_):
         return t0
