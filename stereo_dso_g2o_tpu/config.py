@@ -100,12 +100,22 @@ class Settings:
     # True: evaluate the whole motion-hypothesis ladder every frame as ONE
     # vmapped cascade (a batch axis is nearly free on TPU and the fused frame
     # program keeps a single static shape); False: reference-style lax.cond
-    # that skips the ladder when try-0 passes the accept gate. SELECTION is
-    # the reference's sequential policy either way (trackNewCoarse STEP2-4:
-    # ladder order, strict improvement, stop at the accept gate) — a pure
-    # best-of-residual selection was tried in round 2 and froze quantized
-    # rotation jumps into the trajectory on aliased texture (PERF.md round 3).
+    # that skips the ladder when try-0 passes the accept gate.
     always_retry_ladder: bool = True
+    # Which hypothesis wins once the ladder is evaluated:
+    # - "sequential": the reference's policy replayed (trackNewCoarse
+    #   STEP2-4: ladder order, strict improvement, stop at the accept gate)
+    #   — in the normal case try-0 wins outright.
+    # - "best": lowest level-0 residual wins, try-0 preferred when it is
+    #   good (its saturation gate passes). Round-2 evidence: removes
+    #   init-dependent basin hopping on repetitive texture (1.83 m -> 7.8 mm
+    #   ATE, PERF.md round 2).
+    # Default is "best": replaying the sequential policy diverged the
+    # round-3 smoke bench catastrophically (ATE 8.37 m over a 4.8 m path —
+    # a 4 m basin hop at frame 21 passed the lenient accept gate), while
+    # best-of holds 0.068 m on the same frames. The rotation staircase that
+    # motivated trying "sequential" in round 3 is the milder failure mode.
+    hypothesis_selection: str = "best"
 
     # -- residual count gates (settings.cpp:82-83) --
     min_good_active_res_for_marg: int = 3

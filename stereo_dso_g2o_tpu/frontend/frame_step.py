@@ -397,6 +397,29 @@ def _sequential_select(tb: TrackOut, last_rmse0, settings: Settings,
     return sel._replace(ok=best_k >= 0)
 
 
+def _best_select(tb: TrackOut, settings: Settings) -> TrackOut:
+    """Best-of-residual selection with try-0 preference: try-0 wins when it
+    is good (ok + saturation gate) and no other hypothesis strictly beats
+    it. TPU-native superset of the reference's sequential gating (see
+    Settings.hypothesis_selection)."""
+    res_all = tb.residuals[:, 0]
+    ok_all = tb.ok & jnp.isfinite(res_all)
+    good0 = ok_all[0] & (tb.sat_frac0[0] <= 0.6)
+    best0 = jnp.where(good0, res_all[0], jnp.inf)
+    cand = jnp.where(ok_all, res_all, jnp.inf).at[0].set(jnp.inf)
+    kbest = jnp.argmin(cand)
+    k = jnp.where(cand[kbest] < best0, kbest, 0)
+    track = jax.tree_util.tree_map(lambda x: x[k], tb)
+    return track._replace(ok=jnp.where(k == 0, good0, ok_all[k]))
+
+
+def _select(tb: TrackOut, last_rmse0, settings: Settings,
+            n_tries: int) -> TrackOut:
+    if settings.hypothesis_selection == "best":
+        return _best_select(tb, settings)
+    return _sequential_select(tb, last_rmse0, settings, n_tries)
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "n_levels", "n_tries"))
 def frame_step_full(
     left,
@@ -451,7 +474,7 @@ def frame_step_full(
         # pose can beat the right one by ~2% residual, freezing quantized
         # rotation jumps into the trajectory (PERF.md round 3).
         tb = jax.vmap(one_try)(T_tries)
-        track = _sequential_select(tb, last_rmse0, settings, n_tries)
+        track = _select(tb, last_rmse0, settings, n_tries)
         imm_out = _nonkey_refine(
             win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
             new_exposure, ref_slot, baseline, settings,
@@ -470,7 +493,7 @@ def frame_step_full(
         full = jax.tree_util.tree_map(
             lambda a, b: jnp.concatenate([a[None], b], axis=0), t0, tb
         )
-        return _sequential_select(full, last_rmse0, settings, n_tries)
+        return _select(full, last_rmse0, settings, n_tries)
 
     def no_ladder(_):
         return t0

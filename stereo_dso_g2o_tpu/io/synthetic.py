@@ -368,6 +368,298 @@ def render_multi(
     return img, idepth
 
 
+# ---------------------------------------------------------------------------
+# Fast JAX raycaster — same scene model as render_multi, but packed into
+# arrays and executed as ONE jitted program (vmap over supersample offsets,
+# rect intersections batched, argmin winner, single texture gather). The
+# numpy path above stays as the independent reference implementation; the
+# fast path is equivalence-tested against it (tests/test_synthetic.py).
+# This exists because host-numpy rendering at KITTI res measured ~10 s per
+# stereo pair, which made bench.py's cold start exceed the driver budget
+# (VERDICT r3 item 1).
+# ---------------------------------------------------------------------------
+
+
+def _pack_scene(scene: MultiScene):
+    """Pack a MultiScene into dense arrays for the JAX raycaster.
+
+    The backdrop plane becomes one more "rect" with infinite extents. Textures
+    of different sizes share one (R, Smax, Smax) buffer; per-rect tex_size
+    keeps the tiling modulus exact (textures tile by their OWN size)."""
+    prims = []
+    for r in scene.rects:
+        prims.append((r.normal, r.dist, r.origin, r.e1, r.e2, r.ext1, r.ext2,
+                      r.tex, r.tex_scale))
+    if scene.backdrop is not None:
+        b = scene.backdrop
+        # any point on the plane serves as origin for texture coords: the
+        # numpy path uses u=(X.e1)*scale directly, i.e. origin = 0 projected;
+        # keep EXACT parity by using origin=0 and inf extents
+        prims.append((b.normal, b.dist, np.zeros(3), b.e1, b.e2,
+                      np.inf, np.inf, b.tex, b.tex_scale))
+    R = len(prims)
+    smax = max(p[7].shape[0] for p in prims)
+    pack = {
+        "normal": np.zeros((R, 3), np.float32),
+        "dist": np.zeros((R,), np.float32),
+        "origin": np.zeros((R, 3), np.float32),
+        "e1": np.zeros((R, 3), np.float32),
+        "e2": np.zeros((R, 3), np.float32),
+        "ext1": np.zeros((R,), np.float32),
+        "ext2": np.zeros((R,), np.float32),
+        "tex": np.zeros((R, smax, smax), np.float32),
+        "tex_size": np.zeros((R,), np.int32),
+        "tex_scale": np.zeros((R,), np.float32),
+    }
+    for i, (n, d, o, e1, e2, x1, x2, tex, ts) in enumerate(prims):
+        s = tex.shape[0]
+        pack["normal"][i] = n
+        pack["dist"][i] = d
+        pack["origin"][i] = o
+        pack["e1"][i] = e1
+        pack["e2"][i] = e2
+        pack["ext1"][i] = x1
+        pack["ext2"][i] = x2
+        pack["tex"][i, :s, :s] = tex
+        pack["tex_size"][i] = s
+        pack["tex_scale"][i] = ts
+    return pack
+
+
+def _raycast_jax(pack, Kinv_ss, R_cw, t_cw, w, h, center_idx):
+    """Traced core: returns (img (h,w) supersample-averaged, idepth (h,w)).
+
+    Kinv_ss: (S2, 3, 3) inverse intrinsics, one per subpixel offset.
+    Mirrors render_multi exactly: strict nearest hit with s > 0.1, texture
+    tiling by per-rect size, bilinear wrap sampling; idepth from the
+    center-ish supersample (index center_idx)."""
+    import jax.numpy as jnp
+
+    BIG = jnp.float32(1e30)
+    C = -R_cw.T @ t_cw  # camera center in world
+    us = jnp.arange(w, dtype=jnp.float32)
+    vs = jnp.arange(h, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(us, vs)  # (h, w)
+    p = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1)  # (h, w, 3)
+    # (S2, h, w, 3): rays in camera frame per supersample offset, then world
+    d_c = jnp.einsum("hwk,skj->shwj", p, jnp.transpose(Kinv_ss, (0, 2, 1)))
+    d_w = jnp.einsum("shwk,kj->shwj", d_c, R_cw)  # d_c @ R
+
+    nrm = pack["normal"]  # (R, 3)
+    # s-candidate per rect: (R, S2, h, w)
+    denom = jnp.einsum("shwk,rk->rshw", d_w, nrm)
+    num = (pack["dist"] - nrm @ C)[:, None, None, None]
+    safe = jnp.abs(denom) >= 1e-12
+    s_all = jnp.where(safe, num / jnp.where(safe, denom, 1.0), BIG)
+    # inside test needs a1, a2 — compute from X = C + s*d_w per rect
+    X = C[None, None, None, None, :] + s_all[..., None] * d_w[None]  # (R,S2,h,w,3)
+    rel = X - pack["origin"][:, None, None, None, :]
+    a1 = jnp.einsum("rshwk,rk->rshw", rel, pack["e1"])
+    a2 = jnp.einsum("rshwk,rk->rshw", rel, pack["e2"])
+    inside = (jnp.abs(a1) <= pack["ext1"][:, None, None, None]) & (
+        jnp.abs(a2) <= pack["ext2"][:, None, None, None]
+    )
+    valid = inside & (s_all > 0.1) & (s_all < BIG)
+    s_eff = jnp.where(valid, s_all, BIG)
+    widx = jnp.argmin(s_eff, axis=0)  # (S2, h, w)
+    s_win = jnp.take_along_axis(s_eff, widx[None], axis=0)[0]
+    a1w = jnp.take_along_axis(a1, widx[None], axis=0)[0]
+    a2w = jnp.take_along_axis(a2, widx[None], axis=0)[0]
+    hit = s_win < BIG
+
+    # texture sample: per-pixel winning rect, tiled bilinear wrap
+    ts_scale = pack["tex_scale"][widx]  # (S2, h, w)
+    tsize = pack["tex_size"][widx].astype(jnp.float32)
+    ut = jnp.where(hit, a1w * ts_scale, 0.0)
+    vt = jnp.where(hit, a2w * ts_scale, 0.0)
+    ut = jnp.mod(ut, tsize)
+    vt = jnp.mod(vt, tsize)
+    x0f = jnp.floor(ut)
+    y0f = jnp.floor(vt)
+    fx = jnp.clip(ut - x0f, 0.0, 1.0)
+    fy = jnp.clip(vt - y0f, 0.0, 1.0)
+    tsize_i = pack["tex_size"][widx]
+    x0 = jnp.mod(x0f.astype(jnp.int32), tsize_i)
+    y0 = jnp.mod(y0f.astype(jnp.int32), tsize_i)
+    x1 = jnp.mod(x0 + 1, tsize_i)
+    y1 = jnp.mod(y0 + 1, tsize_i)
+    tex = pack["tex"]  # (R, S, S)
+    v00 = tex[widx, y0, x0]
+    v01 = tex[widx, y0, x1]
+    v10 = tex[widx, y1, x0]
+    v11 = tex[widx, y1, x1]
+    val = (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+    img_ss = jnp.where(hit, val, 0.0)  # (S2, h, w)
+    img = jnp.mean(img_ss, axis=0)
+    idepth = jnp.where(hit[center_idx], 1.0 / s_win[center_idx], 0.0)
+    return img.astype(jnp.float32), idepth.astype(jnp.float32)
+
+
+_FAST_CACHE: dict = {}
+
+
+def _get_fast_renderer(w: int, h: int, supersample: int):
+    """Jitted (pack, Kinv_ss, poses (B,4,4)) -> (imgs (B,h,w), ideps (B,h,w));
+    vmapped over a pose batch so a whole chunk renders in one dispatch."""
+    key = (w, h, supersample)
+    if key in _FAST_CACHE:
+        return _FAST_CACHE[key]
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n = supersample
+    center_idx = ((n - 1) // 2) * n + (n - 1) // 2 if n > 1 else 0
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(pack, Kinv_ss, poses):
+        def one(T):
+            return _raycast_jax(pack, Kinv_ss, T[:3, :3], T[:3, 3], w, h,
+                                center_idx)
+
+        return jax.vmap(one)(poses.astype(jnp.float32))
+
+    _FAST_CACHE[key] = run
+    return run
+
+
+def _supersample_kinvs(K: np.ndarray, supersample: int) -> np.ndarray:
+    """Inverse intrinsics for the NxN subpixel offsets (same grid as
+    render_multi's recursion: principal point shifted by -off)."""
+    n = supersample
+    kinvs = []
+    if n <= 1:
+        kinvs.append(np.linalg.inv(K))
+    else:
+        for a in range(n):
+            for b in range(n):
+                off = np.array([(b + 0.5) / n - 0.5, (a + 0.5) / n - 0.5])
+                Ks = K.copy()
+                Ks[:2, 2] = K[:2, 2] - off
+                kinvs.append(np.linalg.inv(Ks))
+    return np.stack(kinvs).astype(np.float32)
+
+
+def _get_fast_seq_renderer(w: int, h: int, supersample: int):
+    """Jitted (pack, Kinv_ss, poses (B,4,4), expos (B,)) -> uint8 (B,h,w):
+    renders, applies exposure, clips and casts ON DEVICE so only ~h*w bytes
+    per image cross the host link (the float32 img+idepth download measured
+    ~0.9 s/pair through the TPU tunnel; uint8-only is 8x less)."""
+    key = ("seq", w, h, supersample)
+    if key in _FAST_CACHE:
+        return _FAST_CACHE[key]
+    import jax
+    import jax.numpy as jnp
+
+    n = supersample
+    center_idx = ((n - 1) // 2) * n + (n - 1) // 2 if n > 1 else 0
+
+    @jax.jit
+    def run(pack, Kinv_ss, poses, expos):
+        def one(T):
+            img, _ = _raycast_jax(pack, Kinv_ss, T[:3, :3], T[:3, 3], w, h,
+                                  center_idx)
+            return img
+
+        imgs = jax.vmap(one)(poses.astype(jnp.float32))
+        imgs = imgs * expos[:, None, None]
+        return jnp.clip(imgs, 0.0, 255.0).astype(jnp.uint8)
+
+    _FAST_CACHE[key] = run
+    return run
+
+
+def _device_pack(scene: MultiScene):
+    """Scene pack as device arrays, cached on the scene object (the texture
+    pack is ~15 MB — re-uploading it per chunk dominated transfer time)."""
+    cached = getattr(scene, "_jax_pack", None)
+    if cached is not None:
+        return cached
+    import jax.numpy as jnp
+
+    pack = {k: jnp.asarray(v) for k, v in _pack_scene(scene).items()}
+    object.__setattr__(scene, "_jax_pack", pack)
+    return pack
+
+
+def render_multi_fast(
+    scene: MultiScene, K: np.ndarray, w: int, h: int, T_cw: np.ndarray,
+    supersample: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """JAX drop-in for render_multi (one pose). Same outputs."""
+    imgs, ideps = render_multi_batch(scene, K, w, h,
+                                     np.asarray(T_cw)[None], supersample)
+    return imgs[0], ideps[0]
+
+
+def render_multi_batch(
+    scene: MultiScene, K: np.ndarray, w: int, h: int, poses: np.ndarray,
+    supersample: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render a batch of poses (B,4,4) in one jitted dispatch.
+
+    Returns (imgs (B,h,w) float32, idepths (B,h,w) float32)."""
+    import jax.numpy as jnp
+
+    pack = _device_pack(scene)
+    kinvs = jnp.asarray(_supersample_kinvs(K, supersample))
+    run = _get_fast_renderer(w, h, supersample)
+    imgs, ideps = run(pack, kinvs, jnp.asarray(poses, jnp.float32))
+    return np.asarray(imgs), np.asarray(ideps)
+
+
+def render_stereo_sequence_fast(
+    scene: MultiScene,
+    K: np.ndarray,
+    w: int,
+    h: int,
+    baseline: float,
+    poses_cw: List[np.ndarray],
+    exposures: Optional[np.ndarray] = None,
+    supersample: int = 2,
+    chunk: int = 8,
+):
+    """Render a whole stereo sequence on-device in pose chunks.
+
+    Returns (lefts (N,h,w) uint8, rights (N,h,w) uint8). Exposure is applied
+    on device before the uint8 clip (photometric variation for ab
+    estimation). Ground-truth idepth, when needed, comes from
+    render_multi_batch on the chosen poses."""
+    import jax.numpy as jnp
+
+    N = len(poses_cw)
+    expo = np.ones(N) if exposures is None else np.asarray(exposures)
+    all_poses = np.empty((2 * N, 4, 4), np.float64)
+    all_expo = np.empty((2 * N,), np.float32)
+    for f, T in enumerate(poses_cw):
+        all_poses[2 * f] = np.asarray(T)
+        all_poses[2 * f + 1] = stereo_pose(np.asarray(T), baseline)
+        all_expo[2 * f] = all_expo[2 * f + 1] = expo[f]
+    pack = _device_pack(scene)
+    kinvs = jnp.asarray(_supersample_kinvs(K, supersample))
+    run = _get_fast_seq_renderer(w, h, supersample)
+    imgs = np.empty((2 * N, h, w), np.uint8)
+    step = 2 * chunk
+    for i in range(0, 2 * N, step):
+        j = min(i + step, 2 * N)
+        batch = all_poses[i:j]
+        ebatch = all_expo[i:j]
+        if batch.shape[0] < step:  # pad to keep ONE compiled shape
+            pad = step - batch.shape[0]
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)], 0)
+            ebatch = np.concatenate([ebatch, np.repeat(ebatch[-1:], pad, 0)])
+        out = run(pack, kinvs, jnp.asarray(batch, jnp.float32),
+                  jnp.asarray(ebatch))
+        imgs[i:j] = np.asarray(out)[: j - i]
+    return imgs[0::2], imgs[1::2]
+
+
 def render_multi_stereo_pair(
     scene: MultiScene, K: np.ndarray, w: int, h: int, baseline: float,
     T_cw: Optional[np.ndarray] = None, exposure: float = 1.0,

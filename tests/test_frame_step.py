@@ -109,3 +109,57 @@ def test_frame_step_full_ladder_recovers_bad_init():
         )
     )
     assert np.linalg.norm(err[:3]) < 5e-3, err
+
+
+def test_hypothesis_selection_policies():
+    """_select: "best" takes the lowest finite-ok residual (try-0 preferred
+    when good); "sequential" replays trackNewCoarse STEP2-4 and stops at the
+    accept gate, so try-0 wins whenever it passes — even when a later try
+    has a (slightly) lower residual."""
+    import dataclasses
+    import jax.numpy as jnp
+    from stereo_dso_g2o_tpu.config import Settings
+    from stereo_dso_g2o_tpu.frontend.frame_step import TrackOut, _select
+
+    def mk(res0s, oks, sat0=0.0):
+        n = len(res0s)
+        return TrackOut(
+            T=jnp.stack([jnp.eye(4) * (k + 1) for k in range(n)]),
+            aff=jnp.zeros((n, 2)),
+            residuals=jnp.stack(
+                [jnp.array([r, r, r, r, r], jnp.float32) for r in res0s]
+            ),
+            flow=jnp.zeros((n, 3)),
+            ok=jnp.array(oks),
+            sat_frac0=jnp.full((n,), sat0, jnp.float32),
+        )
+
+    s_best = Settings(hypothesis_selection="best")
+    s_seq = Settings(hypothesis_selection="sequential")
+
+    # try-0 passes the accept gate but try-3 is slightly lower:
+    # sequential must stop at try-0, best must switch to try-3
+    tb = mk([10.0, 12.0, 11.0, 9.75, 20.0], [True] * 5)
+    sel_seq = _select(tb, jnp.float32(10.0), s_seq, 5)
+    sel_best = _select(tb, jnp.float32(10.0), s_best, 5)
+    assert float(sel_seq.residuals[0]) == 10.0
+    assert float(sel_best.residuals[0]) == 9.75
+    assert bool(sel_seq.ok) and bool(sel_best.ok)
+
+    # try-0 failed (coverage guard): sequential accepts the FIRST ok try
+    # that passes the gate (12 < 10*1.5) and stops; best scans all
+    tb = mk([5.0, 12.0, 9.0, 9.75, 20.0], [False, True, True, True, True])
+    sel = _select(tb, jnp.float32(10.0), s_seq, 5)
+    assert float(sel.residuals[0]) == 12.0 and bool(sel.ok)
+    sel = _select(tb, jnp.float32(10.0), s_best, 5)
+    assert float(sel.residuals[0]) == 9.0 and bool(sel.ok)
+
+    # nothing ok: ok=False must surface (isLost handling upstream)
+    tb = mk([5.0, 6.0, 7.0, 8.0, 9.0], [False] * 5)
+    for s in (s_seq, s_best):
+        assert not bool(_select(tb, jnp.float32(10.0), s, 5).ok)
+
+    # saturated try-0 must not win under "best" even with lowest residual
+    tb = mk([5.0, 6.0, 7.0, 8.0, 9.0], [True] * 5, sat0=0.9)
+    sel = _select(tb, jnp.float32(100.0), s_best, 5)
+    assert float(sel.residuals[0]) == 6.0
