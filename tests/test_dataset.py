@@ -158,6 +158,7 @@ def test_photometric_gamma(tmp_path):
     np.testing.assert_allclose(np.asarray(lut)[1:-1], 1.0, atol=0.1)
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(kitti_dir, tmp_path):
     """run_odometry.py main() over a PNG dataset: SLAM + stereomatch modes."""
     import importlib.util

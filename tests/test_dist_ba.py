@@ -172,6 +172,7 @@ def test_distributed_ba_enlarged_window():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+@pytest.mark.slow
 def test_multi_sequence_runner_two_devices():
     from stereo_dso_g2o_tpu.parallel.multiseq import MultiSequenceRunner
     from stereo_dso_g2o_tpu.models.camera import make_calib

@@ -36,6 +36,7 @@ SET = Settings(
 )
 
 
+@pytest.mark.slow
 def test_full_system_synthetic_sequence():
     K, poses_gt, frames = _sequence(10)
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_, n_levels=5)

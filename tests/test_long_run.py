@@ -6,6 +6,7 @@ suite's (order-dependent native crash; the scenario itself is clean — it
 passes standalone). Process isolation keeps the suite deterministic.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -63,6 +64,7 @@ print(f"LONGRUN_OK ate={ate * 1000:.2f}mm kfs_created={fs.next_kf_id}")
 """
 
 
+@pytest.mark.slow
 def test_long_sequence_with_marginalization_cycles():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
