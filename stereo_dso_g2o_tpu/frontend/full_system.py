@@ -107,6 +107,47 @@ class FullSystem:
                 mats.append(jnp.zeros((H0, W0, 3), jnp.float32))
         return jnp.stack(mats)
 
+    def _dist_ba(self, dI_stack, max_its: int):
+        """Windowed BA over a dist_ba_shards-device mesh (Settings opt-in,
+        BASELINE config 5): shard the point axis, run the whole GN loop as
+        one shard_map program, gather back. The per-KF shard/gather is the
+        single-chip-host trade; a resident multi-chip deployment would keep
+        the window sharded between keyframes (parallel/dist_ba.py)."""
+        import numpy as _np
+
+        from stereo_dso_g2o_tpu.parallel import dist_ba as DBA
+
+        key = ("dist_ba", max_its)
+        cache = getattr(self, "_dist_ba_cache", None)
+        if cache is None:
+            cache = self._dist_ba_cache = {}
+        if key not in cache:
+            n = self.settings.dist_ba_shards
+            devs = jax.devices()
+            assert n <= len(devs), (
+                f"dist_ba_shards={n} exceeds {len(devs)} devices"
+            )
+            assert self.win.pt_u.shape[0] % n == 0, (
+                "point capacity must divide dist_ba_shards"
+            )
+            mesh = jax.sharding.Mesh(_np.array(devs[:n]), (DBA.AXIS,))
+            run = DBA.sharded_optimize_fused(
+                mesh, self.win, settings=self.settings, max_its=max_its
+            )
+            cache[key] = (mesh, run)
+        mesh, run = cache[key]
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        win_sh = DBA.shard_window(mesh, self.win)
+        dI_rep = jax.device_put(
+            dI_stack, NamedSharding(mesh, _P(*([None] * 4)))
+        )
+        win_sh, energy, nres = run(win_sh, dI_rep)
+        # gather back to the default single-device placement
+        dev0 = jax.devices()[0]
+        win = jax.tree.map(lambda x: jax.device_put(x, dev0), win_sh)
+        return win, energy, nres
+
     def add_frame(self, left, right, frame_id: int, timestamp: float = 0.0,
                   exposure: float = 1.0, exposure_right: float = 1.0):
         """FullSystem::addActiveFrame."""
@@ -532,9 +573,12 @@ class FullSystem:
         elif len(self.kf_slots) < 4:
             max_its = 15
         with PROF.section("kf.ba", lambda: self.win):
-            self.win, energy, nres = ba.optimize_fused(
-                self.win, dI_stack, settings=s, max_its=max_its
-            )
+            if s.dist_ba_shards > 1:
+                self.win, energy, nres = self._dist_ba(dI_stack, max_its)
+            else:
+                self.win, energy, nres = ba.optimize_fused(
+                    self.win, dI_stack, settings=s, max_its=max_its
+                )
         if s.log_eigenvalues and self.log_stream is not None:
             import json as _json
 

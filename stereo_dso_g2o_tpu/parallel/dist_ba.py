@@ -80,6 +80,52 @@ def sharded_ba_step(mesh: Mesh, win_template: W.Window,
     return jax.jit(step)
 
 
+def sharded_optimize_fused(mesh: Mesh, win_template: W.Window,
+                           settings: Settings = default_settings(),
+                           max_its: int = 6):
+    """The WHOLE GN loop (ba.optimize_fused) as one distributed program:
+    the lax.while_loop runs inside shard_map, each iteration psum-reduces
+    the camera system over the mesh, and every shard steps the replicated
+    keyframe state identically (so the convergence flag needs no extra
+    collective — it is a pure function of the psum-ed system).
+
+    Returns run(win_sharded, dI_stack) -> (win_sharded, energy, nres).
+    """
+    spec = window_specs(win_template)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec, P(*([None] * 4))),
+        out_specs=(spec, P(), P()),
+    )
+    def run(win, dI_stack):
+        def cond(carry):
+            _, _, _, done, it = carry
+            return (it < max_its) & ~done
+
+        def body(carry):
+            win_c, _, _, done, it = carry
+            win_n, e, conv, nr = ba.ba_iteration(
+                win_c, dI_stack, it, settings=settings, axis_name=AXIS
+            )
+            done_out = conv & (it + 1 >= settings.min_opt_iterations)
+            return (win_n, e.astype(jnp.float32), nr.astype(jnp.int32),
+                    done_out, it + 1)
+
+        init = (
+            win,
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+        )
+        win_out, energy, nres, _, _ = jax.lax.while_loop(cond, body, init)
+        return win_out, energy, nres
+
+    return jax.jit(run)
+
+
 def shard_window(mesh: Mesh, win: W.Window) -> W.Window:
     """Place a window onto the mesh with point arrays sharded."""
     import dataclasses

@@ -211,3 +211,69 @@ def test_multi_sequence_runner_two_devices():
     d0 = next(iter(runner.systems[0].win.pt_u.devices()))
     d1 = next(iter(runner.systems[1].win.pt_u.devices()))
     assert d0 != d1
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_big_window_system_runs_with_dist_ba():
+    """VERDICT r3 item 8: the enlarged window as a RUNNING SYSTEM — the host
+    FullSystem pipeline with max_frames=15/window_cap=16 and the windowed-BA
+    GN loop dispatched through dist_ba.sharded_optimize_fused over the
+    8-device mesh (Settings.dist_ba_shards). Asserts the distributed run
+    tracks (finite, sane ATE) and stays consistent with the same-settings
+    single-device run; prints per-KF BA wall time for PERF.md."""
+    import time
+
+    from stereo_dso_g2o_tpu.frontend.full_system import FullSystem
+    from stereo_dso_g2o_tpu.io import synthetic, trajectory
+    from stereo_dso_g2o_tpu.models.camera import make_calib
+    from stereo_dso_g2o_tpu.utils import se3
+    import dataclasses
+
+    W_, H_, BASE = 192, 96, 0.1
+    big = dataclasses.replace(
+        default_settings(),
+        max_frames=15, window_cap=16,
+        desired_point_density=400.0, desired_immature_density=300.0,
+        immature_cap=512, active_cap=1024,  # NP = 2048 -> 8x256 shards
+        min_frames=4, kf_global_weight=5.0,  # eager KFs: fill the window
+    )
+    scene = synthetic.default_scene(17)
+    K = synthetic.default_K(W_, H_)
+    calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], BASE, W_, H_,
+                       n_levels=4)
+    n = 20
+    poses, frames = [], []
+    for i in range(n):
+        xi = np.array([0.02 * i, -0.004 * i, 0.035 * i,
+                       0.0, 0.012 * i, 0.0015 * i])
+        T = np.asarray(se3.se3_exp(jnp.asarray(xi)), dtype=np.float64)
+        poses.append(np.linalg.inv(T))
+        frames.append(synthetic.render_stereo_pair(scene, K, W_, H_, BASE,
+                                                   T)[:2])
+
+    def run(shards):
+        s = dataclasses.replace(big, dist_ba_shards=shards)
+        fs = FullSystem(calib, s)
+        kf_times = []
+        for i in range(n):
+            pre = len(fs.kf_slots)
+            t0 = time.perf_counter()
+            fs.add_frame(frames[i][0], frames[i][1], i, timestamp=0.1 * i)
+            if len(fs.kf_slots) != pre:
+                kf_times.append(time.perf_counter() - t0)
+            assert not fs.is_lost, f"lost at {i} (shards={shards})"
+        return fs, kf_times
+
+    fs_d, t_d = run(8)
+    fs_s, t_s = run(0)
+    # the enlarged window must actually be in use
+    assert len(fs_d.kf_slots) > 8, len(fs_d.kf_slots)
+    ate_d = trajectory.ate_rmse(fs_d.trajectory(), poses)
+    ate_s = trajectory.ate_rmse(fs_s.trajectory(), poses)
+    assert ate_d < 0.05, ate_d
+    assert ate_d < max(3.0 * ate_s, 0.02), (ate_d, ate_s)
+    print(f"\nbig-window F=16: dist(8 virt) per-KF median "
+          f"{np.median(t_d):.3f}s vs single {np.median(t_s):.3f}s "
+          f"(shared-core virtual mesh measures overhead, not ICI speedup); "
+          f"ate_d={ate_d*1000:.1f}mm ate_s={ate_s*1000:.1f}mm")
