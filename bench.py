@@ -166,9 +166,19 @@ def main():
     for i in range(BOOT, warm_until):
         gs.add_frame(lefts0[i], rights0[i], i, timestamp=0.1 * i)
     emit({"progress": "single_seq_warm"})
+    obs = []  # per-KF observability records (VERDICT r3 item 9) — built
+    # from the per-frame bundle fetches the pipeline already makes
     t0 = time.perf_counter()
     for i in range(warm_until, N_FRAMES):
-        gs.add_frame(lefts0[i], rights0[i], i, timestamp=0.1 * i)
+        b = gs.add_frame(lefts0[i], rights0[i], i, timestamp=0.1 * i)
+        if b is not None and bool(b.need_kf):
+            obs.append({
+                "frame": i, "energy": float(b.energy),
+                "nres": int(b.nres), "n_active": int(b.n_active),
+                "n_activated": int(b.n_activated), "n_imm": int(b.n_imm),
+                "n_marg": int(b.n_marg), "n_dropped": int(b.n_dropped),
+                "sel_num": int(b.sel_num),
+            })
     dt_single = (time.perf_counter() - t0) / (N_FRAMES - warm_until)
     single_fps = 1.0 / dt_single
 
@@ -207,6 +217,25 @@ def main():
         vs_baseline=round(single_fps / BASELINE_FPS, 3),
         **common,
     ))
+
+    # archive per-KF stats + the final window's eigenvalue spectrum
+    # (printEigenValLine parity) so accuracy drift under perf surgery is
+    # attributable — written AFTER the progressive result so its one-time
+    # compile can never cost the headline number
+    try:
+        import json as _json
+
+        from stereo_dso_g2o_tpu.runtime.diagnostics import eigenvalue_record
+
+        with open("/root/repo/bench_obs.jsonl", "w") as f:
+            for rec in obs:
+                f.write(_json.dumps(rec) + "\n")
+            eig = eigenvalue_record(gs.state.win, settings=settings)
+            eig["final_window"] = True
+            f.write(_json.dumps(eig) + "\n")
+        emit({"progress": "obs_archived", "n_kf_records": len(obs)})
+    except Exception as e:
+        emit({"progress": "obs_failed", "err": repr(e)[:200]})
 
     # ---- batched N_SEQ aggregate throughput ----
     systems = [bootstrap(s[0], s[1]) for s in seqs]
