@@ -491,7 +491,14 @@ def trace_batch(
 
 def default_backend() -> str:
     """Pick the search backend for the ambient platform: the VMEM slab
-    kernel on TPU, the XLA gather formulation elsewhere."""
+    kernel on TPU, the XLA gather formulation elsewhere.
+
+    SDSO_TRACE_BACKEND=xla|pallas overrides (numerics A/B on hardware)."""
+    import os
+
+    ov = os.environ.get("SDSO_TRACE_BACKEND")
+    if ov in ("xla", "pallas"):
+        return ov
     return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
