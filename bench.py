@@ -261,6 +261,20 @@ def main():
         **common,
     ))
 
+    # headline LAST (the driver records the final line): throughput of the
+    # best per-chip configuration. At KITTI res a single sequence saturates
+    # the chip, so 1 seq/chip beats 4-seq batching (PERF.md round 4); both
+    # configurations are reported above and in the fields here.
+    best = max(single_fps, agg_fps)
+    emit(dict(
+        metric="full_slam_fps_per_chip_kitti_res_hostile_synthetic",
+        value=round(best, 2),
+        vs_baseline=round(best / BASELINE_FPS, 3),
+        best_config_n_seq=1 if single_fps >= agg_fps else N_SEQ,
+        agg_fps_batched=round(agg_fps, 2),
+        **common,
+    ))
+
 
 if __name__ == "__main__":
     main()

@@ -39,6 +39,7 @@ def main():
     from stereo_dso_g2o_tpu.ops import trace as trace_ops
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else bench.N_FRAMES
+    seq = int(os.environ.get("SDSO_PROBE_SEQ", "0"))
     settings = Settings(
         desired_point_density=2000.0,
         desired_immature_density=1500.0,
@@ -50,7 +51,7 @@ def main():
     K, seqs = bench.render_sequences()
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], bench.BASE,
                        bench.W_, bench.H_, n_levels=6)
-    lefts, rights, poses = seqs[0]
+    lefts, rights, poses = seqs[seq]
 
     fs = FullSystem(calib, settings)
     for i in range(bench.BOOT):
@@ -69,6 +70,7 @@ def main():
     )
     print(json.dumps({
         "backend": jax.default_backend(),
+        "seq": seq,
         "trace_backend": trace_ops.default_backend(),
         "n_frames": n_frames,
         "ate_rmse_m": round(float(ate), 4),
