@@ -490,16 +490,22 @@ def trace_batch(
 
 
 def default_backend() -> str:
-    """Pick the search backend for the ambient platform: the VMEM slab
-    kernel on TPU, the XLA gather formulation elsewhere.
+    """Pick the epipolar-search backend. Default: the XLA gather
+    formulation on every platform.
 
-    SDSO_TRACE_BACKEND=xla|pallas overrides (numerics A/B on hardware)."""
+    Round-4 on-hardware A/B (PERF.md): the Pallas VMEM-slab kernel needed an
+    f32 slab + HIGHEST-precision interpolation dots to stop degrading
+    accuracy (its bf16 form cost 4x on rel-rot), and in that exact form it
+    runs ~2.6x SLOWER end-to-end than the post-round-2 XLA gather path at
+    equal accuracy (seq1: 85.6 s vs 224.7 s / 200 frames; identical trace
+    outputs to <=3e-4 px). The kernel remains available for kernel work via
+    SDSO_TRACE_BACKEND=pallas; SDSO_TRACE_BACKEND=xla forces the default."""
     import os
 
     ov = os.environ.get("SDSO_TRACE_BACKEND")
     if ov in ("xla", "pallas"):
         return ov
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return "xla"
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "backend"))
