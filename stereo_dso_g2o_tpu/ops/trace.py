@@ -490,22 +490,23 @@ def trace_batch(
 
 
 def default_backend() -> str:
-    """Pick the epipolar-search backend. Default: the XLA gather
-    formulation on every platform.
+    """Pick the epipolar-search backend: the f32 VMEM-slab Pallas kernel on
+    TPU, the XLA gather formulation on CPU.
 
-    Round-4 on-hardware A/B (PERF.md): the Pallas VMEM-slab kernel needed an
-    f32 slab + HIGHEST-precision interpolation dots to stop degrading
-    accuracy (its bf16 form cost 4x on rel-rot), and in that exact form it
-    runs ~2.6x SLOWER end-to-end than the post-round-2 XLA gather path at
-    equal accuracy (seq1: 85.6 s vs 224.7 s / 200 frames; identical trace
-    outputs to <=3e-4 px). The kernel remains available for kernel work via
-    SDSO_TRACE_BACKEND=pallas; SDSO_TRACE_BACKEND=xla forces the default."""
+    Round-4 on-hardware A/B at KITTI res (PERF.md): with the f32 slab +
+    HIGHEST-precision interpolation dots the kernel matches the XLA gather
+    formulation to <=3e-4 px (its earlier bf16 form cost 4x on rel-rot) and
+    the fused frame program runs 1.5x faster with it (steady-state mean
+    190 vs 281 ms/frame; non-KF 106 vs 208 ms). Full-run trajectory
+    differences between the two backends are chaotic basin noise, inside
+    the reference envelope on both bench sequences either way.
+    SDSO_TRACE_BACKEND=xla|pallas overrides."""
     import os
 
     ov = os.environ.get("SDSO_TRACE_BACKEND")
     if ov in ("xla", "pallas"):
         return ov
-    return "xla"
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "backend"))

@@ -11,13 +11,15 @@ scale). This kernel restructures the workload TPU-natively:
   2. All S x 8 bilinear samples of the search become ONE MXU matmul against
      on-the-fly "tent" interpolation weights: columns are interpolated by
      slab[64, Ceff] @ wcT[Ceff, S*8], rows by an elementwise tent-weighted
-     sublane reduction. No gathers anywhere. The slab and the interpolation
-     dots are FULL f32 (Precision.HIGHEST): a bf16 slab + bf16 tent weights
-     (the round-3 formulation) quantize samples by ~0.5-1 gray level, which
-     measurably degrades trace depths — on the 200-frame KITTI-res bench the
-     bf16 kernel gave ATE 0.29 m / rel-rot 0.022 deg/m / 69 keyframes vs
-     0.10 m / 0.0032 deg/m / 47 keyframes with exact sampling (the extra
-     keyframes are the KF decision tripping on noisier tracking residuals).
+     sublane reduction. No gathers anywhere. The slab is f32 and the
+     interpolation dots run at Precision.HIGHEST (Mosaic supports only
+     DEFAULT and HIGHEST): the round-3 formulation (bf16 slab + single-pass bf16 tent
+     weights) quantized samples by ~0.5-1 gray level, which measurably
+     degraded trace depths — on the 200-frame KITTI-res bench it gave
+     ATE 0.29 m / rel-rot 0.022 deg/m / 69 keyframes vs 0.10 m /
+     0.0032 deg/m / 47 keyframes with exact sampling (the extra keyframes
+     are the KF decision tripping on noisier tracking residuals). The
+     image is EDGE-padded to mirror the XLA path's coordinate clipping.
   3. Per-step Huber pattern energies, the masked argmin, and the
      second-best-outside-radius statistic are computed in-kernel.
   4. The <=3-step 1-dof GN refinement along the epipolar line
@@ -87,8 +89,14 @@ def pad_image_for_search(img: jax.Array, dtype=jnp.float32):
     oy, ox = 8, 128
     Hp = ((H + oy + R_SLAB + 7) // 8) * 8
     Wp = ((W + ox + C_SLAB + 127) // 128) * 128
-    img_pad = jnp.zeros((Hp, Wp), dtype).at[oy : oy + H, ox : ox + W].set(
-        img.astype(dtype)
+    # EDGE padding, not zeros: the XLA path clips sample coordinates to the
+    # image, so out-of-image bilinear taps read border pixels. Zero padding
+    # made border-adjacent searches see a black frame -> biased energies ->
+    # noisier trace depths near borders and a ~50% higher keyframe cadence.
+    img_pad = jnp.pad(
+        img.astype(dtype),
+        ((oy, Hp - H - oy), (ox, Wp - W - ox)),
+        mode="edge",
     )
     return img_pad, oy, ox
 
