@@ -12,8 +12,10 @@ scale). This kernel restructures the workload TPU-natively:
      on-the-fly "tent" interpolation weights: columns are interpolated by
      slab[64, Ceff] @ wcT[Ceff, S*8], rows by an elementwise tent-weighted
      sublane reduction. No gathers anywhere. The slab is f32 and the
-     interpolation dots run at Precision.HIGHEST (Mosaic supports only
-     DEFAULT and HIGHEST): the round-3 formulation (bf16 slab + single-pass bf16 tent
+     interpolation dots run as explicit hi/lo bf16 splits (`_dot_bf16x3`,
+     three single-pass DEFAULT dots ~ f32 accuracy; Mosaic exposes only
+     DEFAULT and the 2x-costlier 6-pass HIGHEST): the round-3 formulation
+     (bf16 slab + single-pass bf16 tent
      weights) quantized samples by ~0.5-1 gray level, which measurably
      degraded trace depths — on the 200-frame KITTI-res bench it gave
      ATE 0.29 m / rel-rot 0.022 deg/m / 69 keyframes vs 0.10 m /
@@ -125,6 +127,50 @@ def _huber(r, th):
     return jnp.where(ar < th, 1.0, th / jnp.maximum(ar, 1e-12))
 
 
+def _dot_bf16x3(a, b):
+    """f32-accurate matmul from three single-pass bf16 MXU dots.
+
+    Mosaic exposes only DEFAULT (one bf16 pass — quantizes 0-255 gray
+    images by ~0.5 level, the round-3 accuracy bug) and HIGHEST (six
+    passes). The classic hi/lo split recovers ~f32 accuracy at half the
+    HIGHEST cost: a = ah + al, b = bh + bl with ah/bh the bf16 roundings,
+    then a@b ~= ah@bh + ah@bl + al@bh (the dropped al@bl term is
+    O(2^-16) relative). Measured on this kernel's operand distribution:
+    max error 0.002 gray vs 0.94 for one-pass bf16."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _dot_exact_rhs(a, b01):
+    """a @ b for a 0/1 selection matrix b: two single-pass bf16 dots.
+
+    b01's entries are exactly representable in bf16, and the hi/lo split
+    of `a` is exact by construction, so ah@b + al@b reconstructs the f32
+    product up to f32 accumulation order — same accuracy class as
+    HIGHEST at a third of the passes."""
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    b = b01.astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return d(ah, b) + d(al, b)
+
+
 def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
     SP = 8 * S
 
@@ -196,48 +242,22 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
             aff_a = scal[:, SCAL_AFF_A : SCAL_AFF_A + 1]
             aff_b = scal[:, SCAL_AFF_B : SCAL_AFF_B + 1]
 
-            patx_sp = jnp.dot(
-                patx_ref[pl.ds(i, 1), :],
-                E,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (1, SP)
-            paty_sp = jnp.dot(
-                paty_ref[pl.ds(i, 1), :],
-                E,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            color_sp = jnp.dot(
-                color_ref[pl.ds(i, 1), :],
-                E,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            patx_sp = _dot_exact_rhs(patx_ref[pl.ds(i, 1), :], E)  # (1, SP)
+            paty_sp = _dot_exact_rhs(paty_ref[pl.ds(i, 1), :], E)
+            color_sp = _dot_exact_rhs(color_ref[pl.ds(i, 1), :], E)
 
             sx = ptx + s_iota_sp * dx + patx_sp  # (1, SP)
             sy = pty + s_iota_sp * dy + paty_sp
 
             wc = jnp.maximum(0.0, 1.0 - jnp.abs(sx - c_iota))  # (Ceff, SP)
-            m1 = jax.lax.dot_general(
-                slab,
-                wc,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (R, SP)
+            m1 = _dot_bf16x3(slab, wc)  # (R, SP)
             wr = jnp.maximum(0.0, 1.0 - jnp.abs(sy - r_iota))  # (R, SP)
             vals = jnp.sum(m1 * wr, axis=0, keepdims=True)  # (1, SP)
 
             res = vals - (aff_a * color_sp + aff_b)
             hw = _huber(res, huber_th)
             en_sp = hw * res * res * (2.0 - hw)
-            e_s = jnp.dot(
-                en_sp,
-                Sel,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            e_s = _dot_exact_rhs(en_sp, Sel)
 
             valid = s_iota < nsteps
             e_m = jnp.where(valid, e_s, _BIG)
@@ -317,13 +337,7 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
             def sample8(src, qx, qy):
                 """Bilinear samples of (R, Ceff) at (1, 8) positions."""
                 wcg = jnp.maximum(0.0, 1.0 - jnp.abs(qx - cg_iota_pt))
-                mg = jax.lax.dot_general(
-                    src,
-                    wcg,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (R, 8)
+                mg = _dot_bf16x3(src, wcg)  # (R, 8)
                 wrg = jnp.maximum(0.0, 1.0 - jnp.abs(qy - rg_iota_pt))
                 return jnp.sum(mg * wrg, axis=0, keepdims=True)  # (1, 8)
 

@@ -313,3 +313,51 @@ def test_trace_compaction_overflow_keeps_rows():
     # overflow rows must be untouched (still UNINITIALIZED, intervals intact)
     assert (st_part[96:] == trace_ops.IPS_UNINITIALIZED).all()
     assert np.isnan(np.asarray(part.idepth_max).reshape(-1)[96:]).all()
+
+
+def test_split_precision_dots_are_f32_accurate():
+    """The kernel's hi/lo bf16 split dots (`_dot_bf16x3`, `_dot_exact_rhs`)
+    must stay within ~0.01 gray of the exact product on image-valued
+    operands. Mosaic only exposes DEFAULT (one bf16 pass) and HIGHEST (six
+    passes); the split recovers f32-class accuracy at DEFAULT-pass cost —
+    single-pass bf16 was the round-3 accuracy bug (~0.5-1 gray per sample,
+    4x rel-rot blowup, PERF.md round 4). bf16 x bf16 products are exact in
+    f32, so this CPU check reproduces TPU MXU semantics exactly."""
+    from stereo_dso_g2o_tpu.ops import trace_pallas as tk
+
+    rng = np.random.default_rng(7)
+    R, C, SP = 64, 256, 368
+    slab = jnp.asarray(rng.uniform(0.0, 255.0, (R, C)).astype(np.float32))
+    sx = rng.uniform(4, C - 5, SP).astype(np.float32)
+    wc = jnp.asarray(
+        np.maximum(
+            0.0, 1.0 - np.abs(sx[None, :] - np.arange(C, dtype=np.float32)[:, None])
+        )
+    )
+    exact = np.asarray(slab, np.float64) @ np.asarray(wc, np.float64)
+    got = np.asarray(tk._dot_bf16x3(slab, wc))
+    assert np.abs(got - exact).max() < 0.01, np.abs(got - exact).max()
+
+    # single-pass bf16 (what DEFAULT would do) must be measurably WORSE —
+    # guards against the helper silently degenerating to one pass
+    one_pass = np.asarray(
+        jnp.dot(
+            slab.astype(jnp.bfloat16).astype(jnp.float32).astype(jnp.bfloat16),
+            wc.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    assert np.abs(one_pass - exact).max() > 0.1
+
+    # selection-matrix variant: exact 0/1 rhs
+    a = jnp.asarray(rng.uniform(-300.0, 300.0, (1, 8)).astype(np.float32))
+    E = jnp.asarray(
+        (rng.integers(0, 2, (8, SP))).astype(np.float32)
+    )
+    exact2 = np.asarray(a, np.float64) @ np.asarray(E, np.float64)
+    got2 = np.asarray(tk._dot_exact_rhs(a, E))
+    # f32-class: the only error left is f32 accumulation-order rounding,
+    # so normalize by the cancellation-free magnitude sum, not the result
+    mag = np.abs(np.asarray(a, np.float64)) @ np.asarray(E, np.float64)
+    rel = np.abs(got2 - exact2) / np.maximum(mag, 1.0)
+    assert rel.max() < 1e-5, rel.max()
