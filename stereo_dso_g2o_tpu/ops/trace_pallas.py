@@ -137,15 +137,19 @@ def _dot_bf16x3(a, b):
     then a@b ~= ah@bh + ah@bl + al@bh (the dropped al@bl term is
     O(2^-16) relative). Measured on this kernel's operand distribution:
     max error 0.002 gray vs 0.94 for one-pass bf16."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    # Operands stay f32 (Mosaic rejects bf16 lhs with an f32 accumulator:
+    # "Bad lhs type"); the explicit bf16 round-trip makes them bf16-VALUED,
+    # so the DEFAULT-precision one-pass internal truncation is lossless.
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
 
     def d(x, y):
         return jax.lax.dot_general(
             x, y, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     return d(ah, bh) + d(ah, bl) + d(al, bh)
@@ -158,14 +162,15 @@ def _dot_exact_rhs(a, b01):
     of `a` is exact by construction, so ah@b + al@b reconstructs the f32
     product up to f32 accumulation order — same accuracy class as
     HIGHEST at a third of the passes."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    b = b01.astype(jnp.bfloat16)
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    b = b01  # 0/1 entries: DEFAULT's bf16 truncation is exact
 
     def d(x, y):
         return jax.lax.dot_general(
             x, y, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     return d(ah, b) + d(al, b)
