@@ -493,13 +493,15 @@ def default_backend() -> str:
     """Pick the epipolar-search backend: the f32 VMEM-slab Pallas kernel on
     TPU, the XLA gather formulation on CPU.
 
-    Round-4 on-hardware A/B at KITTI res (PERF.md): with the f32 slab +
-    HIGHEST-precision interpolation dots the kernel matches the XLA gather
-    formulation to <=3e-4 px (its earlier bf16 form cost 4x on rel-rot) and
-    the fused frame program runs 1.5x faster with it (steady-state mean
-    190 vs 281 ms/frame; non-KF 106 vs 208 ms). Full-run trajectory
-    differences between the two backends are chaotic basin noise, inside
-    the reference envelope on both bench sequences either way.
+    Round-4 on-hardware A/B at KITTI res (PERF.md): the f32-slab kernel
+    matches the XLA gather formulation to <=3e-4 px (its earlier bf16 form
+    cost 4x on rel-rot) and the fused frame program runs ~1.5x faster with
+    it (HIGHEST-dot form: steady-state mean 190 vs 281 ms/frame; the
+    current hi/lo-split form halves the kernel's MXU passes again —
+    0.6 ms for a full 2048-point 44-step search,
+    tools/bench_trace_kernel.py). Full-run trajectory differences between
+    the two backends are chaotic basin noise, inside the reference
+    envelope on both bench sequences either way.
     SDSO_TRACE_BACKEND=xla|pallas overrides."""
     import os
 
