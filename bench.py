@@ -33,7 +33,11 @@ import time
 
 import numpy as np
 
-N_SEQ = 4
+# SDSO_BENCH_NSEQ=n renders/loads only the first n sequences (cache files are
+# keyed by the seq count, so a reduced cache never shadows the full one).
+# tests/test_kitti_res_accuracy.py uses n=1 to make the accuracy probe
+# self-sufficient on a fresh checkout without paying the 4-sequence render.
+N_SEQ = int(os.environ.get("SDSO_BENCH_NSEQ", "4"))
 N_FRAMES = 200
 BOOT = 12  # host-bootstrap frames per sequence (initialization)
 W_, H_, BASE = 1216, 352, 0.54
@@ -44,6 +48,29 @@ BASELINE_FPS = 18.9  # reference KITTI 05 full pipeline (BASELINE.md)
 SMALL = os.environ.get("SDSO_BENCH_SMALL") == "1"
 if SMALL:
     N_SEQ, N_FRAMES, W_, H_, BASE = 2, 40, 256, 128, 0.2
+
+if (
+    SMALL
+    and os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("_SDSO_BENCH_CHILD") != "1"
+):
+    # Smoke mode is a CPU workload, but the container's sitecustomize routes
+    # ALL jax compilation through the axon TPU tunnel, which intermittently
+    # stalls CPU-only work for many minutes (VERDICT r4 weak #7: an ambient
+    # `SDSO_BENCH_SMALL=1 python bench.py` hung >9 min). Re-exec in a child
+    # with the hook disabled and the CPU platform pinned — the same
+    # self-escape __graft_entry__.dryrun_multichip uses.
+    import subprocess
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_SDSO_BENCH_CHILD"] = "1"
+    raise SystemExit(
+        subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env).returncode
+    )
 
 
 def emit(obj):
@@ -128,6 +155,8 @@ def main():
     # input, so affine brightness must be free (the reference's KITTI
     # operating point: mode=1 sets setting_affineOptModeA/B = 0,
     # main_dso_pangolin.cpp:326-327)
+    # SDSO_LADDER_FINE=k: split-ladder A/B override (Settings.ladder_fine_levels)
+    lf = int(os.environ.get("SDSO_LADDER_FINE", "0"))
     if SMALL:
         settings = Settings(
             desired_point_density=600.0,
@@ -136,6 +165,7 @@ def main():
             active_cap=1024,
             affine_opt_mode_a=0.0,
             affine_opt_mode_b=0.0,
+            ladder_fine_levels=lf,
         )
     else:
         settings = Settings(
@@ -145,6 +175,7 @@ def main():
             active_cap=2048,
             affine_opt_mode_a=0.0,
             affine_opt_mode_b=0.0,
+            ladder_fine_levels=lf,
         )
     t_render0 = time.perf_counter()
     K, seqs = render_sequences()
@@ -171,14 +202,26 @@ def main():
     t0 = time.perf_counter()
     for i in range(warm_until, N_FRAMES):
         b = gs.add_frame(lefts0[i], rights0[i], i, timestamp=0.1 * i)
-        if b is not None and bool(b.need_kf):
-            obs.append({
-                "frame": i, "energy": float(b.energy),
+        if b is None:
+            continue
+        # per-frame keyframe-decision audit (VERDICT r4 item 5): the two
+        # decision terms (FullSystem.cpp:1127-1152) for EVERY frame, so a
+        # drifted KF cadence is attributable to flow-delta vs rmse-doubling
+        rec = {
+            "frame": i, "need_kf": bool(b.need_kf),
+            "kf_delta": round(float(b.kf_delta), 4),
+            "kf_rmse": round(float(b.kf_rmse), 3),
+            "kf_first_rmse": round(float(b.kf_first_rmse), 3),
+        }
+        if bool(b.need_kf):
+            rec.update({
+                "energy": float(b.energy),
                 "nres": int(b.nres), "n_active": int(b.n_active),
                 "n_activated": int(b.n_activated), "n_imm": int(b.n_imm),
                 "n_marg": int(b.n_marg), "n_dropped": int(b.n_dropped),
                 "sel_num": int(b.sel_num),
             })
+        obs.append(rec)
     dt_single = (time.perf_counter() - t0) / (N_FRAMES - warm_until)
     single_fps = 1.0 / dt_single
 
@@ -233,7 +276,7 @@ def main():
             eig = eigenvalue_record(gs.state.win, settings=settings)
             eig["final_window"] = True
             f.write(_json.dumps(eig) + "\n")
-        emit({"progress": "obs_archived", "n_kf_records": len(obs)})
+        emit({"progress": "obs_archived", "n_frame_records": len(obs)})
     except Exception as e:
         emit({"progress": "obs_failed", "err": repr(e)[:200]})
 

@@ -116,6 +116,19 @@ class Settings:
     # best-of holds 0.068 m on the same frames. The rotation staircase that
     # motivated trying "sequential" in round 3 is the milder failure mode.
     hypothesis_selection: str = "best"
+    # Coarse-only hypothesis evaluation (the always-on ladder's 5x residual
+    # work is a real per-frame tax now that tracking is compute-bound, not
+    # dispatch-bound — VERDICT r4 weak #3). 0: every hypothesis runs the
+    # full cascade (round-2..4 behavior). k>0: all hypotheses run only the
+    # COARSE levels (n_levels-1 .. k), the winner is picked there
+    # (best-of with try-0 preference, keyed on the level-k residual), and
+    # only the winner descends the k fine levels (k-1 .. 0). Per-level LM
+    # cost scales ~4x per level of descent, so k=2 cuts the cascade's
+    # hypothesis tax ~4x while the basin-selection protection (PERF.md
+    # round 2) still acts at level k. The reference's own abort rule prunes
+    # losing tries at coarse levels the same way (CoarseTracker.cpp
+    # :1032-1033 via trackNewCoarse's min-res ladder).
+    ladder_fine_levels: int = 0
 
     # -- residual count gates (settings.cpp:82-83) --
     min_good_active_res_for_marg: int = 3

@@ -42,6 +42,21 @@ class TrackOut(NamedTuple):
     sat_frac0: jax.Array  # () saturation fraction at the finest level
 
 
+class CascadeCarry(NamedTuple):
+    """Running state of the per-level LM cascade — lets the cascade be split
+    into a coarse segment (run for every hypothesis) and a fine segment (run
+    only for the winner), Settings.ladder_fine_levels."""
+
+    T: jax.Array
+    aff: jax.Array
+    ok: jax.Array
+    residuals: jax.Array  # (L,) per-level res (nan where not run)
+    flow: jax.Array
+    sat0: jax.Array  # saturation at the finest level run so far
+    sat_last: jax.Array  # saturation at the most recent level (coarse gate)
+    have_repeated: jax.Array
+
+
 def _k_levels(calib: Calib):
     return [
         jnp.stack([calib.fx(l), calib.fy(l), calib.cx(l), calib.cy(l)])
@@ -49,36 +64,40 @@ def _k_levels(calib: Calib):
     ]
 
 
-def track_cascade(
-    ref,  # tuple of per-level (pc_u, pc_v, pc_id, pc_color, pc_ok)
-    dI_new_pyr,  # tuple of (H_l, W_l, 3)
-    calib: Calib,
-    T_init,
-    aff_init,
+def _cascade_init(T_init, aff_init, n_levels: int) -> CascadeCarry:
+    return CascadeCarry(
+        T=jnp.asarray(T_init, jnp.float32),
+        aff=jnp.asarray(aff_init, jnp.float32),
+        ok=jnp.asarray(True),
+        residuals=jnp.full((n_levels,), jnp.nan, jnp.float32),
+        flow=jnp.asarray([100.0, 0.0, 100.0], jnp.float32),
+        sat0=jnp.asarray(0.0, jnp.float32),
+        sat_last=jnp.asarray(0.0, jnp.float32),
+        have_repeated=jnp.asarray(False),
+    )
+
+
+def _cascade_levels(
+    carry: CascadeCarry,
+    ref,
+    dI_new_pyr,
+    Ks,
+    levels,  # static iterable, strictly descending (e.g. (5,4,3))
     ref_aff,
     ref_exposure,
     new_exposure,
-    min_res_for_abort,  # (L,)
+    min_res_for_abort,
     settings: Settings,
-) -> TrackOut:
-    """In-graph trackNewestCoarse: the per-level LM cascade with abort and
-    affine sanity gates expressed as carried flags (no host branching).
-    The cutoff-repeat machinery (legacy :891-906, :1036-1041) runs inside
-    `lm_level` itself, so the >60%-saturation case needs no host fallback.
-    """
+) -> CascadeCarry:
+    """Run the per-level LM cascade over `levels`, threading the carry."""
     from stereo_dso_g2o_tpu.frontend.coarse_tracker import MAX_ITERATIONS
 
-    n_levels = calib.n_levels
-    Ks = _k_levels(calib)
-    T = jnp.asarray(T_init, jnp.float32)
-    aff = jnp.asarray(aff_init, jnp.float32)
-    ok = jnp.asarray(True)
-    residuals = jnp.full((n_levels,), jnp.nan, jnp.float32)
-    flow = jnp.asarray([100.0, 0.0, 100.0], jnp.float32)
-    sat0 = jnp.asarray(0.0, jnp.float32)
-    have_repeated = jnp.asarray(False)
+    T, aff, ok = carry.T, carry.aff, carry.ok
+    residuals, flow = carry.residuals, carry.flow
+    sat0, sat_last = carry.sat0, carry.sat_last
+    have_repeated = carry.have_repeated
 
-    for lvl in range(n_levels - 1, -1, -1):
+    for lvl in levels:
         pc_u, pc_v, pc_id, pc_color, pc_ok = ref[lvl]
         out = tracker_ops.lm_level(
             pc_u, pc_v, pc_id, pc_color, pc_ok, dI_new_pyr[lvl], Ks[lvl],
@@ -102,6 +121,7 @@ def track_cascade(
         T = jnp.where(ok & lvl_ok, out.T, T)
         aff = jnp.where(ok & lvl_ok, out.aff, aff)
         residuals = residuals.at[lvl].set(jnp.where(ok, res, jnp.nan))
+        sat_last = jnp.where(ok, out.sat_frac, sat_last)
         if lvl == 0:
             flow = jnp.where(
                 ok,
@@ -111,13 +131,50 @@ def track_cascade(
             sat0 = out.sat_frac
         ok = ok & lvl_ok
 
+    return CascadeCarry(
+        T=T, aff=aff, ok=ok, residuals=residuals, flow=flow, sat0=sat0,
+        sat_last=sat_last, have_repeated=have_repeated,
+    )
+
+
+def _cascade_finalize(carry: CascadeCarry, settings: Settings) -> TrackOut:
     # affine sanity gates (trackNewestCoarse :1075-1095)
     s = settings
+    aff, ok = carry.aff, carry.ok
     a_bad = (s.affine_opt_mode_a != 0) & (jnp.abs(aff[0]) > 1.2)
     b_bad = (s.affine_opt_mode_b != 0) & (jnp.abs(aff[1]) > 200.0)
     ok = ok & ~a_bad & ~b_bad
+    return TrackOut(
+        T=carry.T, aff=aff, residuals=carry.residuals, flow=carry.flow,
+        ok=ok, sat_frac0=carry.sat0,
+    )
 
-    return TrackOut(T=T, aff=aff, residuals=residuals, flow=flow, ok=ok, sat_frac0=sat0)
+
+def track_cascade(
+    ref,  # tuple of per-level (pc_u, pc_v, pc_id, pc_color, pc_ok)
+    dI_new_pyr,  # tuple of (H_l, W_l, 3)
+    calib: Calib,
+    T_init,
+    aff_init,
+    ref_aff,
+    ref_exposure,
+    new_exposure,
+    min_res_for_abort,  # (L,)
+    settings: Settings,
+) -> TrackOut:
+    """In-graph trackNewestCoarse: the per-level LM cascade with abort and
+    affine sanity gates expressed as carried flags (no host branching).
+    The cutoff-repeat machinery (legacy :891-906, :1036-1041) runs inside
+    `lm_level` itself, so the >60%-saturation case needs no host fallback.
+    """
+    n_levels = calib.n_levels
+    Ks = _k_levels(calib)
+    carry = _cascade_init(T_init, aff_init, n_levels)
+    carry = _cascade_levels(
+        carry, ref, dI_new_pyr, Ks, range(n_levels - 1, -1, -1), ref_aff,
+        ref_exposure, new_exposure, min_res_for_abort, settings,
+    )
+    return _cascade_finalize(carry, settings)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "n_levels", "is_kf"))
@@ -420,6 +477,25 @@ def _select(tb: TrackOut, last_rmse0, settings: Settings,
     return _sequential_select(tb, last_rmse0, settings, n_tries)
 
 
+def _coarse_select(cb: CascadeCarry, k: int) -> CascadeCarry:
+    """Winner selection over a batch of COARSE cascade carries, keyed on the
+    level-k residual (the lowest coarse level run): best-of with try-0
+    preference, the coarse analog of `_best_select` — try-0 wins when its
+    coarse run is ok and not saturated and no other hypothesis strictly
+    beats its level-k residual. Used by the split ladder
+    (Settings.ladder_fine_levels); only the returned carry descends the
+    fine levels."""
+    res_all = cb.residuals[:, k]
+    ok_all = cb.ok & jnp.isfinite(res_all)
+    good0 = ok_all[0] & (cb.sat_last[0] <= 0.6)
+    best0 = jnp.where(good0, res_all[0], jnp.inf)
+    cand = jnp.where(ok_all, res_all, jnp.inf).at[0].set(jnp.inf)
+    jbest = jnp.argmin(cand)
+    j = jnp.where(cand[jbest] < best0, jbest, 0)
+    sel = jax.tree_util.tree_map(lambda x: x[j], cb)
+    return sel._replace(ok=jnp.where(j == 0, good0, ok_all[j]))
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "n_levels", "n_tries"))
 def frame_step_full(
     left,
@@ -464,17 +540,38 @@ def frame_step_full(
         )
 
     if settings.always_retry_ladder:
-        # ALL hypotheses run in ONE vmapped cascade — they share every image
-        # and reference operand, the point axis just gets n_tries x wider —
-        # then selection replays the reference's SEQUENTIAL semantics
-        # (trackNewCoarse STEP2-4): tries are considered in ladder order and
-        # consideration STOPS at the re-track accept gate, so in the normal
-        # case try-0 wins outright. A pure best-of-residual selection was
-        # tried in round 2 and measurably hurt: on aliased texture a wrong
-        # pose can beat the right one by ~2% residual, freezing quantized
-        # rotation jumps into the trajectory (PERF.md round 3).
-        tb = jax.vmap(one_try)(T_tries)
-        track = _select(tb, last_rmse0, settings, n_tries)
+        kf_ = settings.ladder_fine_levels
+        if kf_ > 0:
+            # SPLIT ladder (VERDICT r4 weak #3: the always-on 5x hypothesis
+            # tax at every level): every hypothesis runs only the coarse
+            # levels (n_levels-1..kf_) in one vmapped cascade, the winner is
+            # picked on the level-kf_ residual, and only the winner descends
+            # the fine levels — ~4x less per-level LM work per fine level
+            # skipped for the 4 losing hypotheses. Basin selection (the
+            # round-2 protection) still acts, one level up.
+            Ks = _k_levels(calib)
+
+            def coarse_try(T0):
+                carry = _cascade_init(T0, aff_init, n_levels)
+                return _cascade_levels(
+                    carry, ref, dIpL, Ks, range(n_levels - 1, kf_ - 1, -1),
+                    ref_aff, ref_exposure, new_exposure, abort_inf, settings,
+                )
+
+            cb = jax.vmap(coarse_try)(T_tries)
+            sel = _coarse_select(cb, kf_)
+            fine = _cascade_levels(
+                sel, ref, dIpL, Ks, range(kf_ - 1, -1, -1), ref_aff,
+                ref_exposure, new_exposure, abort_inf, settings,
+            )
+            track = _cascade_finalize(fine, settings)
+        else:
+            # ALL hypotheses run in ONE vmapped cascade — they share every
+            # image and reference operand, the point axis just gets n_tries x
+            # wider — then selection picks per Settings.hypothesis_selection
+            # (see the config docstrings for the round-2/3 evidence).
+            tb = jax.vmap(one_try)(T_tries)
+            track = _select(tb, last_rmse0, settings, n_tries)
         imm_out = _nonkey_refine(
             win, imm, dIpL[0], dIpR[0], calib, track.T, track.aff,
             new_exposure, ref_slot, baseline, settings,

@@ -117,6 +117,12 @@ class FrameBundle(NamedTuple):
     n_imm: jax.Array  # ()
     n_marg: jax.Array  # ()
     n_dropped: jax.Array  # ()
+    # keyframe-decision inputs (FullSystem.cpp:1127-1152), for the per-frame
+    # decision audit: the weighted flow/affine score (KF when > 1) and the
+    # rmse-vs-firstCoarseRMSE pair (KF when 2*first < rmse)
+    kf_delta: jax.Array  # ()
+    kf_rmse: jax.Array  # () level-0 coarse RMSE of this frame
+    kf_first_rmse: jax.Array  # () firstCoarseRMSE of the current ref
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +149,8 @@ def kf_decision(track: FS.TrackOut, ref_aff, ref_exposure, new_exposure,
         + s.kf_global_weight * s.max_affine_weight
         * jnp.abs(jnp.log(jnp.maximum(a_rel, 1e-9)))
     )
-    return (delta > 1.0) | (2.0 * first_rmse < track.residuals[0])
+    need = (delta > 1.0) | (2.0 * first_rmse < track.residuals[0])
+    return need, delta
 
 
 def flag_frames(win: W.Window, imm_valid, kf_out_count,
@@ -322,18 +329,19 @@ def _track_common(
     )
 
     track_eff = track._replace(T=T_best, aff=aff_best, flow=flow)
-    need_kf = kf_decision(
+    need_kf, kf_delta = kf_decision(
         track_eff, state.ref_aff, state.ref_exposure, new_exposure,
         new_first, float(w0 + h0), s,
     )
+    kf_inputs = jnp.stack([kf_delta, rmse0, new_first])
     return (
         (dIpL, dIpR), imm_spec, track, T_best, aff_best, flow, ok_eff,
-        new_last, new_first, need_kf,
+        new_last, new_first, need_kf, kf_inputs,
     )
 
 
 def _nonkf_branch(state: GraphState, imm_spec, track, T_best, aff_best,
-                  flow, ok_eff, new_last, new_first, need_kf):
+                  flow, ok_eff, new_last, new_first, need_kf, kf_inputs):
     F = state.win.F
     w2c_pre0 = state.win.w2c()
     st = state._replace(
@@ -365,13 +373,16 @@ def _nonkf_branch(state: GraphState, imm_spec, track, T_best, aff_best,
         n_imm=jnp.sum(imm_spec.valid).astype(jnp.int32),
         n_marg=jnp.asarray(0, jnp.int32),
         n_dropped=jnp.asarray(0, jnp.int32),
+        kf_delta=kf_inputs[0],
+        kf_rmse=kf_inputs[1],
+        kf_first_rmse=kf_inputs[2],
     )
     return st, bundle
 
 
 def _kf_branch(
     state: GraphState, dIpL, dIpR0, track, T_best, aff_best, flow, ok_eff,
-    new_last, new_first, need_kf, calib_c, baseline, new_exposure,
+    new_last, new_first, need_kf, kf_inputs, calib_c, baseline, new_exposure,
     settings: Settings, n_levels: int, pot: int, caps: Tuple[int, ...],
     w0: int, h0: int, imm_cap: int,
 ):
@@ -538,6 +549,9 @@ def _kf_branch(
             n_imm=jnp.sum(imm.valid).astype(jnp.int32),
             n_marg=n_marg,
             n_dropped=n_drop,
+            kf_delta=kf_inputs[0],
+            kf_rmse=kf_inputs[1],
+            kf_first_rmse=kf_inputs[2],
         )
         return st, bundle
 
@@ -572,7 +586,7 @@ def frame_auto(
     the previous frame's result before dispatching the next: results drain
     asynchronously a few frames behind while the device pipeline runs ahead."""
     (dIpL, dIpR), imm_spec, track, T_best, aff_best, flow, ok_eff, \
-        new_last, new_first, need_kf = _track_common(
+        new_last, new_first, need_kf, kf_inputs = _track_common(
             state, left, right, calib_c, baseline, new_exposure,
             settings, n_levels, n_tries, w0, h0,
         )
@@ -580,14 +594,14 @@ def frame_auto(
     def non_kf(_):
         return _nonkf_branch(
             state, imm_spec, track, T_best, aff_best, flow, ok_eff,
-            new_last, new_first, need_kf,
+            new_last, new_first, need_kf, kf_inputs,
         )
 
     def kf(_):
         return _kf_branch(
             state, dIpL, dIpR[0], track, T_best, aff_best, flow, ok_eff,
-            new_last, new_first, need_kf, calib_c, baseline, new_exposure,
-            settings, n_levels, pot, caps, w0, h0, imm_cap,
+            new_last, new_first, need_kf, kf_inputs, calib_c, baseline,
+            new_exposure, settings, n_levels, pot, caps, w0, h0, imm_cap,
         )
 
     return jax.lax.cond(need_kf, kf, non_kf, None)
@@ -606,6 +620,7 @@ class TrackAux(NamedTuple):
     new_last: jax.Array
     new_first: jax.Array
     need_kf: jax.Array
+    kf_inputs: jax.Array  # (3,) decision-audit inputs (delta, rmse, first)
 
 
 @functools.partial(
@@ -636,18 +651,18 @@ def frame_track(
     (reference analog: makeKeyFrame vs makeNonKeyFrame dispatch,
     FullSystem.cpp:1168-1221)."""
     (dIpL, dIpR), imm_spec, track, T_best, aff_best, flow, ok_eff, \
-        new_last, new_first, need_kf = _track_common(
+        new_last, new_first, need_kf, kf_inputs = _track_common(
             state, left, right, calib_c, baseline, new_exposure,
             settings, n_levels, n_tries, w0, h0,
         )
     st, bundle = _nonkf_branch(
         state, imm_spec, track, T_best, aff_best, flow, ok_eff,
-        new_last, new_first, need_kf,
+        new_last, new_first, need_kf, kf_inputs,
     )
     aux = TrackAux(
         dIpL=dIpL, dIpR0=dIpR[0], track=track, T_best=T_best,
         aff_best=aff_best, flow=flow, ok_eff=ok_eff, new_last=new_last,
-        new_first=new_first, need_kf=need_kf,
+        new_first=new_first, need_kf=need_kf, kf_inputs=kf_inputs,
     )
     return st, bundle, aux
 
@@ -676,8 +691,8 @@ def frame_kf(
     return _kf_branch(
         state_pre, aux.dIpL, aux.dIpR0, aux.track, aux.T_best, aux.aff_best,
         aux.flow, aux.ok_eff, aux.new_last, aux.new_first, aux.need_kf,
-        calib_c, baseline, new_exposure, settings, n_levels, pot, caps,
-        w0, h0, imm_cap,
+        aux.kf_inputs, calib_c, baseline, new_exposure, settings, n_levels,
+        pot, caps, w0, h0, imm_cap,
     )
 
 

@@ -127,32 +127,43 @@ def _huber(r, th):
     return jnp.where(ar < th, 1.0, th / jnp.maximum(ar, 1e-12))
 
 
+def _dot1(x, y):
+    """One single-pass (DEFAULT-precision) MXU dot with an f32 accumulator.
+
+    On TPU, DEFAULT truncates each operand to bf16 internally for the one
+    pass; callers exploit this by feeding f32-typed operands that are
+    bf16-VALUED (exact under that truncation) or accept a second-order
+    truncation on residual terms (see the split-dot helpers below)."""
+    return jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
 def _dot_bf16x3(a, b):
-    """f32-accurate matmul from three single-pass bf16 MXU dots.
+    """~f32-accurate matmul from three single-pass bf16 MXU dots.
 
     Mosaic exposes only DEFAULT (one bf16 pass — quantizes 0-255 gray
     images by ~0.5 level, the round-3 accuracy bug) and HIGHEST (six
     passes). The classic hi/lo split recovers ~f32 accuracy at half the
     HIGHEST cost: a = ah + al, b = bh + bl with ah/bh the bf16 roundings,
-    then a@b ~= ah@bh + ah@bl + al@bh (the dropped al@bl term is
-    O(2^-16) relative). Measured on this kernel's operand distribution:
-    max error 0.002 gray vs 0.94 for one-pass bf16."""
+    then a@b ~= ah@bh + ah@bl + al@bh. Error terms: the dropped al@bl is
+    O(2^-16) relative; additionally the al/bl residuals carry up to ~16
+    mantissa bits and are themselves truncated to bf16 by DEFAULT's one
+    pass on TPU, adding another O(2^-16)-relative error in the cross
+    terms that full-f32 CPU execution does not have. Measured on this
+    kernel's operand distribution: max error 0.002 gray vs 0.94 for
+    one-pass bf16."""
     # Operands stay f32 (Mosaic rejects bf16 lhs with an f32 accumulator:
-    # "Bad lhs type"); the explicit bf16 round-trip makes them bf16-VALUED,
-    # so the DEFAULT-precision one-pass internal truncation is lossless.
+    # "Bad lhs type"); the explicit bf16 round-trip makes ah/bh
+    # bf16-VALUED, so DEFAULT's one-pass internal truncation is lossless
+    # for the hi@hi term (and for the hi operand of each cross term).
     ah = a.astype(jnp.bfloat16).astype(jnp.float32)
     al = a - ah
     bh = b.astype(jnp.bfloat16).astype(jnp.float32)
     bl = b - bh
-
-    def d(x, y):
-        return jax.lax.dot_general(
-            x, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    return d(ah, bh) + d(ah, bl) + d(al, bh)
+    return _dot1(ah, bh) + _dot1(ah, bl) + _dot1(al, bh)
 
 
 def _dot_exact_rhs(a, b01):
@@ -160,20 +171,14 @@ def _dot_exact_rhs(a, b01):
 
     b01's entries are exactly representable in bf16, and the hi/lo split
     of `a` is exact by construction, so ah@b + al@b reconstructs the f32
-    product up to f32 accumulation order — same accuracy class as
-    HIGHEST at a third of the passes."""
+    product up to (a) f32 accumulation order and (b) the bf16 truncation
+    DEFAULT applies to the `al` residual operand on TPU (second-order,
+    O(2^-16) relative) — one step below HIGHEST's accuracy, at a third
+    of the passes."""
     ah = a.astype(jnp.bfloat16).astype(jnp.float32)
     al = a - ah
     b = b01  # 0/1 entries: DEFAULT's bf16 truncation is exact
-
-    def d(x, y):
-        return jax.lax.dot_general(
-            x, y, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-
-    return d(ah, b) + d(al, b)
+    return _dot1(ah, b) + _dot1(al, b)
 
 
 def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):

@@ -64,11 +64,14 @@ def test_graph_system_continues_full_system():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("kf_mode", ["gated", "fused"])
+@pytest.mark.parametrize("kf_mode", ["deferred", "gated", "fused"])
 def test_batched_runner_two_sequences(kf_mode):
     """Config 4: two sequences stepped by one vmapped track program per frame
-    (gated: keyframe pipeline dispatched only for sequences that need it;
-    fused: everything under vmapped lax.cond)."""
+    (deferred: keyframe pipeline dispatched one step late, before the next
+    track — no blocking need_kf sync; gated: same split with an in-frame
+    sync; fused: everything under vmapped lax.cond). The deferred run also
+    exercises the queued-bundle fix-up: without it the host bookkeeping
+    would never see the keyframe bundles and kf_shells would not grow."""
     from stereo_dso_g2o_tpu.parallel.batched import BatchedRunner
 
     n, n_boot = 14, 7

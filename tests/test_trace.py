@@ -321,8 +321,11 @@ def test_split_precision_dots_are_f32_accurate():
     operands. Mosaic only exposes DEFAULT (one bf16 pass) and HIGHEST (six
     passes); the split recovers f32-class accuracy at DEFAULT-pass cost —
     single-pass bf16 was the round-3 accuracy bug (~0.5-1 gray per sample,
-    4x rel-rot blowup, PERF.md round 4). bf16 x bf16 products are exact in
-    f32, so this CPU check reproduces TPU MXU semantics exactly."""
+    4x rel-rot blowup, PERF.md round 4). On CPU the DEFAULT-precision dots
+    run in full f32, so this check covers the hi-term numerics (exact
+    either way) but NOT the on-chip bf16 truncation of the al/bl residual
+    operands in the cross terms — the second-order error model below
+    round-trips those residuals through bf16 to bound that part too."""
     from stereo_dso_g2o_tpu.ops import trace_pallas as tk
 
     rng = np.random.default_rng(7)
@@ -348,6 +351,19 @@ def test_split_precision_dots_are_f32_accurate():
         )
     )
     assert np.abs(one_pass - exact).max() > 0.1
+
+    # on-chip error model: DEFAULT also truncates the al/bl RESIDUAL
+    # operands of the cross terms to bf16 (CPU runs them in full f32).
+    # Simulate that truncation explicitly and verify the result is still
+    # inside the same accuracy bound — i.e. the extra on-chip error is
+    # second-order, not a reappearance of the one-pass bug.
+    def bf16(x):
+        return jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+
+    ah, bh = bf16(slab), bf16(wc)
+    al_t, bl_t = bf16(slab - ah), bf16(wc - bh)  # <- the on-chip truncation
+    tpu_model = np.asarray(ah @ bh + ah @ bl_t + al_t @ bh)
+    assert np.abs(tpu_model - exact).max() < 0.01, np.abs(tpu_model - exact).max()
 
     # selection-matrix variant: exact 0/1 rhs
     a = jnp.asarray(rng.uniform(-300.0, 300.0, (1, 8)).astype(np.float32))

@@ -47,6 +47,9 @@ def main():
         active_cap=2048,
         affine_opt_mode_a=0.0,
         affine_opt_mode_b=0.0,
+        # split-ladder A/B (Settings.ladder_fine_levels): coarse-only
+        # hypothesis evaluation, winner-only fine descent
+        ladder_fine_levels=int(os.environ.get("SDSO_LADDER_FINE", "0")),
     )
     K, seqs = bench.render_sequences()
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], bench.BASE,
@@ -72,6 +75,7 @@ def main():
         "backend": jax.default_backend(),
         "seq": seq,
         "trace_backend": trace_ops.default_backend(),
+        "ladder_fine_levels": settings.ladder_fine_levels,
         "n_frames": n_frames,
         "ate_rmse_m": round(float(ate), 4),
         "kitti_rel_trans_pct": round(float(rel_t), 3),
