@@ -212,17 +212,26 @@ class BatchedRunner:
 
     def add_frames(self, frames, frame_id: int, timestamp: float = 0.0,
                    exposures: Optional[Sequence[float]] = None):
-        """frames: list of (left, right) per sequence. In "fused" mode one
-        device dispatch, results drain `fetch_lag` frames behind; in "gated"
-        mode one vmapped track dispatch + per-keyframe-sequence pipeline
-        dispatches (one small need_kf sync per frame)."""
+        """frames: either a list of (left, right) per sequence (host arrays,
+        uploaded here), or a tuple (lefts, rights) of already-stacked
+        (N, H, W) arrays — pass device-resident slices to skip the per-frame
+        host->device upload entirely (see bench.py: staged frames)."""
         n = len(self.systems)
-        assert len(frames) == n
         if exposures is None:
             exposures = [1.0] * n
         expos = jnp.asarray(np.asarray(exposures), jnp.float32)
-        lefts = jnp.asarray(np.stack([f[0] for f in frames]))
-        rights = jnp.asarray(np.stack([f[1] for f in frames]))
+        if (
+            isinstance(frames, tuple)
+            and len(frames) == 2
+            and hasattr(frames[0], "ndim")
+            and frames[0].ndim == 3
+        ):
+            lefts, rights = frames
+            assert lefts.shape[0] == n
+        else:
+            assert len(frames) == n
+            lefts = jnp.asarray(np.stack([f[0] for f in frames]))
+            rights = jnp.asarray(np.stack([f[1] for f in frames]))
         common = dict(
             settings=self.settings, n_levels=self.calib.n_levels,
             w0=self.calib.w[0], h0=self.calib.h[0],

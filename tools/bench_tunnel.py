@@ -83,6 +83,18 @@ def main():
 
     out["upload_stereo_pair_ms"] = round(timed(upload), 2)
 
+    # 3b. batched upload: is the 191 ms/pair per-CALL latency or bandwidth?
+    imgs8 = np.zeros((8, 2, 352, 1216), np.uint8)
+    out["upload_8pair_batch_ms"] = round(
+        timed(lambda: jax.block_until_ready(jnp.asarray(imgs8)), n=5), 2
+    )
+    # 3c. device-resident slicing (the fix: frames staged once in HBM)
+    big = jnp.asarray(np.zeros((200, 352, 1216), np.uint8))
+    big = big.block_until_ready()
+    out["slice_resident_frame_ms"] = round(
+        timed(lambda: jax.block_until_ready(big[17])), 2
+    )
+
     # 4. trivial dispatch + sync
     f = jax.jit(lambda a: a + 1.0)
     a = jnp.zeros((8, 128)).block_until_ready()
