@@ -190,6 +190,12 @@ class Settings:
     # this fixed batch first. Overflow rows simply keep their interval until
     # a later frame (bounded, burst-only deviation).
     trace_cap: int = 6144
+    # Precision of the pallas trace kernel's interpolation dots:
+    # "split" = hi/lo bf16 split (3 passes, second-order residual
+    # truncation on TPU), "highest" = Precision.HIGHEST (6 passes, exact
+    # f32). The kernel is ~0.6 ms either way; see trace.default_backend's
+    # round-5 A/B notes.
+    trace_dot_precision: str = "split"
     # per-KF eigenvalue/Hessian-diag/nullspace dump into the stats stream
     # (setting_logStuff's printEigenValLine, FullSystem.cpp:1689-1768)
     log_eigenvalues: bool = False

@@ -141,6 +141,16 @@ def _dot1(x, y):
     )
 
 
+def _dot_highest(a, b):
+    """Exact-f32 matmul (six bf16 MXU passes) — the accuracy reference for
+    the split dots; selected by Settings.trace_dot_precision="highest"."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _dot_bf16x3(a, b):
     """~f32-accurate matmul from three single-pass bf16 MXU dots.
 
@@ -181,8 +191,15 @@ def _dot_exact_rhs(a, b01):
     return _dot1(ah, b) + _dot1(al, b)
 
 
-def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
+def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold,
+                 hi_precision=False):
     SP = 8 * S
+    # hi_precision: every interpolation dot runs at Precision.HIGHEST
+    # (exact f32, ~2x the dot passes of the hi/lo split) — removes the
+    # second-order bf16 truncation of the split's residual operands, the
+    # one numeric term the XLA gather formulation does not have
+    dot_img = _dot_highest if hi_precision else _dot_bf16x3
+    dot_sel = _dot_highest if hi_precision else _dot_exact_rhs
 
     def kernel(
         y0_ref,
@@ -252,22 +269,22 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
             aff_a = scal[:, SCAL_AFF_A : SCAL_AFF_A + 1]
             aff_b = scal[:, SCAL_AFF_B : SCAL_AFF_B + 1]
 
-            patx_sp = _dot_exact_rhs(patx_ref[pl.ds(i, 1), :], E)  # (1, SP)
-            paty_sp = _dot_exact_rhs(paty_ref[pl.ds(i, 1), :], E)
-            color_sp = _dot_exact_rhs(color_ref[pl.ds(i, 1), :], E)
+            patx_sp = dot_sel(patx_ref[pl.ds(i, 1), :], E)  # (1, SP)
+            paty_sp = dot_sel(paty_ref[pl.ds(i, 1), :], E)
+            color_sp = dot_sel(color_ref[pl.ds(i, 1), :], E)
 
             sx = ptx + s_iota_sp * dx + patx_sp  # (1, SP)
             sy = pty + s_iota_sp * dy + paty_sp
 
             wc = jnp.maximum(0.0, 1.0 - jnp.abs(sx - c_iota))  # (Ceff, SP)
-            m1 = _dot_bf16x3(slab, wc)  # (R, SP)
+            m1 = dot_img(slab, wc)  # (R, SP)
             wr = jnp.maximum(0.0, 1.0 - jnp.abs(sy - r_iota))  # (R, SP)
             vals = jnp.sum(m1 * wr, axis=0, keepdims=True)  # (1, SP)
 
             res = vals - (aff_a * color_sp + aff_b)
             hw = _huber(res, huber_th)
             en_sp = hw * res * res * (2.0 - hw)
-            e_s = _dot_exact_rhs(en_sp, Sel)
+            e_s = dot_sel(en_sp, Sel)
 
             valid = s_iota < nsteps
             e_m = jnp.where(valid, e_s, _BIG)
@@ -347,7 +364,7 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
             def sample8(src, qx, qy):
                 """Bilinear samples of (R, Ceff) at (1, 8) positions."""
                 wcg = jnp.maximum(0.0, 1.0 - jnp.abs(qx - cg_iota_pt))
-                mg = _dot_bf16x3(src, wcg)  # (R, 8)
+                mg = dot_img(src, wcg)  # (R, 8)
                 wrg = jnp.maximum(0.0, 1.0 - jnp.abs(qy - rg_iota_pt))
                 return jnp.sum(mg * wrg, axis=0, keepdims=True)  # (1, 8)
 
@@ -437,6 +454,7 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold):
         "huber_th",
         "gn_iters",
         "gn_threshold",
+        "hi_precision",
         "interpret",
     ),
 )
@@ -455,6 +473,7 @@ def epipolar_search(
     huber_th: float = 9.0,
     gn_iters: int = 3,
     gn_threshold: float = 0.1,
+    hi_precision: bool = False,
     interpret: bool = False,
 ):
     """Run the in-VMEM epipolar search. Returns (N, 8) f32 (OUT_* lanes).
@@ -469,7 +488,8 @@ def epipolar_search(
     Ceff = ((S + 2 * HALO + 128 + 127) // 128) * 128  # cols actually sampled
 
     kernel = _make_kernel(
-        S, BLK, Ceff, float(huber_th), int(gn_iters), float(gn_threshold)
+        S, BLK, Ceff, float(huber_th), int(gn_iters), float(gn_threshold),
+        hi_precision=bool(hi_precision),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -50,6 +50,8 @@ def main():
         # split-ladder A/B (Settings.ladder_fine_levels): coarse-only
         # hypothesis evaluation, winner-only fine descent
         ladder_fine_levels=int(os.environ.get("SDSO_LADDER_FINE", "0")),
+        # pallas trace-dot precision A/B ("split" | "highest")
+        trace_dot_precision=os.environ.get("SDSO_TRACE_DOTS", "split"),
     )
     K, seqs = bench.render_sequences()
     calib = make_calib(K[0, 0], K[1, 1], K[0, 2], K[1, 2], bench.BASE,
@@ -82,6 +84,7 @@ def main():
         "seq": seq,
         "trace_backend": trace_ops.default_backend(),
         "ladder_fine_levels": settings.ladder_fine_levels,
+        "trace_dots": settings.trace_dot_precision,
         "n_frames": n_frames,
         "ate_rmse_m": round(float(ate), 4),
         "kitti_rel_trans_pct": round(float(rel_t), 3),

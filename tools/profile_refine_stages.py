@@ -163,7 +163,24 @@ def main():
         (5, "extract_stereo_rl"),
         (6, "full_refine"),
     ]
-    out = {"n_live_immature": n_live, "trace_cap": s.trace_cap}
+    # status mix of the live rows: OOB rows no-op inside trace_batch but
+    # still occupy kernel lanes — a large OOB fraction would argue for
+    # excluding them from the compact pool
+    st_live = np.asarray(jax.device_get(imm.status))[
+        np.asarray(jax.device_get(imm.valid & host_valid[:, None]))
+    ]
+    hist = {
+        name: int((st_live == code).sum())
+        for name, code in [
+            ("good", trace_ops.IPS_GOOD), ("oob", trace_ops.IPS_OOB),
+            ("outlier", trace_ops.IPS_OUTLIER),
+            ("skipped", trace_ops.IPS_SKIPPED),
+            ("badcond", trace_ops.IPS_BADCONDITION),
+            ("uninit", trace_ops.IPS_UNINITIALIZED),
+        ]
+    }
+    out = {"n_live_immature": n_live, "trace_cap": s.trace_cap,
+           "status_hist": hist}
     for backend in ("pallas", "xla"):
         cums = {}
         for upto, name in names:
