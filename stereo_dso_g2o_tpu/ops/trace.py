@@ -406,9 +406,29 @@ def trace_batch(
             0, n_gn, gn_body, carry
         )
 
+    # quality updates ONLY for points that actually reach the discrete
+    # search: the reference's traceOn early-returns for OOB/skipped/
+    # badcondition/scale-gated points BEFORE the quality update
+    # (ImmaturePoint.cpp:489-606 vs :696-702). Without this gate the
+    # masked lanes corrupt their carried quality — in the pallas path with
+    # BIG/BIG ~= 1.0 ratios (the num_steps>10 arm forces the update), in
+    # the XLA path with ratios the reference never computes. Quality feeds
+    # the activation candidate gate, so this was a real accuracy leak.
+    reached_search = ~(
+        (status == IPS_OOB)
+        | oob_min
+        | oob_max_f
+        | oob_max_i
+        | skipped
+        | oob_scale
+        | badcond
+        | oob_dxdy
+    )
     new_quality = second_best / jnp.maximum(best_energy_search, 1e-20)
     quality_out = jnp.where(
-        (new_quality < quality) | (num_steps > 10), new_quality, quality
+        reached_search & ((new_quality < quality) | (num_steps > 10)),
+        new_quality,
+        quality,
     )
 
     # energy-based outlier gate (:774-793)
@@ -505,12 +525,18 @@ def default_backend() -> str:
       on EVERY frame, an order of magnitude more than the ~23 ms/frame the
       lower keyframe rate would buy back.
 
-    So pallas stays the TPU default. The kernel's residual numeric
-    deviation (second-order bf16 truncation of the al/bl operands in the
-    split dots — the one term the XLA f32 gathers don't have) is
-    addressed separately: SDSO_TRACE_PRECISION=highest runs the kernel's
-    interpolation dots at Precision.HIGHEST (exact f32, ~+1 ms/frame) for
-    the accuracy A/B. SDSO_TRACE_BACKEND=xla|pallas overrides the backend.
+    So pallas stays the TPU default — and the accuracy gap was then
+    ROOT-CAUSED, not basin noise: masked lanes (skipped/badcondition/OOB,
+    ~45 % of the pool) were corrupting their carried `quality` with
+    search outputs the reference never computes (its traceOn early-returns
+    before the quality update, ImmaturePoint.cpp:489-606 vs :696-702); the
+    pallas path's zero-step lanes wrote BIG/BIG ~= 1.0 ratios, starving
+    activation. With the reached-the-search gate (both backends), the same
+    200-frame probe gives pallas ATE 0.0804 m / rel-trans 0.461 % /
+    47 KFs — better than the XLA backend's pre-fix numbers, at kernel
+    speed. (Precision was a red herring: HIGHEST dots alone moved ATE only
+    0.325 -> 0.264; Settings.trace_dot_precision="highest" remains as the
+    A/B knob.) SDSO_TRACE_BACKEND=xla|pallas overrides the backend.
     """
     import os
 
@@ -800,9 +826,14 @@ def trace_stereo(
         best_energy = jnp.where(
             n_gn > 0, out[:, tk.OUT_E_GN], best_energy_search
         )
+        # same reached-the-search gate as trace_batch: the reference's
+        # traceStereo early-returns before its quality update for masked
+        # points, so their carried quality must stay untouched
         new_quality = second_best / jnp.maximum(best_energy_search, 1e-20)
         quality_out = jnp.where(
-            (new_quality < quality) | (num_steps > 10), new_quality, quality
+            ~pre_masked & ((new_quality < quality) | (num_steps > 10)),
+            new_quality,
+            quality,
         )
         return _stereo_finish(
             u_stereo, u, v, u_min, u_max, dist, best_u, best_energy,
@@ -871,9 +902,15 @@ def trace_stereo(
     idxs = jnp.arange(S)
     outside = jnp.abs(idxs[None, :] - best_idx[:, None]) > radius
     second_best = jnp.min(jnp.where(outside, energies, jnp.inf), axis=1)
+    reached_search = ~(
+        oob_min | oob_max_f | oob_max_i | skipped | badcond
+        | (status == IPS_OOB)
+    )
     new_quality = second_best / jnp.maximum(best_energy_search, 1e-20)
     quality_out = jnp.where(
-        (new_quality < quality) | (num_steps > 10), new_quality, quality
+        reached_search & ((new_quality < quality) | (num_steps > 10)),
+        new_quality,
+        quality,
     )
 
     # -- GN refinement along the row (few samples: generic bilinear is fine) --
