@@ -155,8 +155,11 @@ def main():
     # input, so affine brightness must be free (the reference's KITTI
     # operating point: mode=1 sets setting_affineOptModeA/B = 0,
     # main_dso_pangolin.cpp:326-327)
-    # SDSO_LADDER_FINE=k: split-ladder A/B override (Settings.ladder_fine_levels)
-    lf = int(os.environ.get("SDSO_LADDER_FINE", "0"))
+    # SDSO_LADDER_FINE=k: split-ladder A/B override; unset -> Settings default
+    from stereo_dso_g2o_tpu.config import Settings as _S
+
+    lf = int(os.environ.get("SDSO_LADDER_FINE",
+                            str(_S.__dataclass_fields__["ladder_fine_levels"].default)))
     if SMALL:
         settings = Settings(
             desired_point_density=600.0,

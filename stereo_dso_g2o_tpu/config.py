@@ -128,7 +128,13 @@ class Settings:
     # round 2) still acts at level k. The reference's own abort rule prunes
     # losing tries at coarse levels the same way (CoarseTracker.cpp
     # :1032-1033 via trackNewCoarse's min-res ladder).
-    ladder_fine_levels: int = 0
+    # Default 2 per the round-5 on-chip A/B (200-frame KITTI-res corridor,
+    # post quality-fix): k=2 gives rel-trans 0.811 % / rel-rot 0.0030 /
+    # 46 KFs vs 0.461 % / 0.0027 / 47 KFs for the full ladder — both >4x
+    # inside the reference envelope — for ~17 ms saved on EVERY frame (the
+    # measured 5-try tax, PERF.md round 5). Set 0 for the accuracy-maximal
+    # full ladder.
+    ladder_fine_levels: int = 2
 
     # -- residual count gates (settings.cpp:82-83) --
     min_good_active_res_for_marg: int = 3

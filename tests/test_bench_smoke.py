@@ -33,9 +33,12 @@ def test_smoke_bench_trajectory_sane():
     lines = [json.loads(ln) for ln in proc.stdout.splitlines()
              if ln.startswith("{")]
     results = [d for d in lines if "metric" in d]
-    assert len(results) == 2, lines  # progressive single-seq + aggregate
+    # progressive single-seq + batched aggregate + best-config headline
+    assert len(results) == 3, lines
+    assert results[0]["metric"].startswith("full_slam_single_seq_fps")
+    assert results[1]["metric"].startswith("full_slam_agg_fps")
     agg = results[-1]
-    assert agg["metric"].startswith("full_slam_agg_fps")
+    assert agg["metric"].startswith("full_slam_fps_per_chip")
     assert agg["n_finite_frames"] == agg["n_frames"]
     assert not agg["lost"]
     # the smoke path is ~4.8 m long; ATE must be a small fraction of it

@@ -48,8 +48,11 @@ def main():
         affine_opt_mode_a=0.0,
         affine_opt_mode_b=0.0,
         # split-ladder A/B (Settings.ladder_fine_levels): coarse-only
-        # hypothesis evaluation, winner-only fine descent
-        ladder_fine_levels=int(os.environ.get("SDSO_LADDER_FINE", "0")),
+        # hypothesis evaluation, winner-only fine descent; unset -> default
+        ladder_fine_levels=int(os.environ.get(
+            "SDSO_LADDER_FINE",
+            str(Settings.__dataclass_fields__["ladder_fine_levels"].default),
+        )),
         # pallas trace-dot precision A/B ("split" | "highest")
         trace_dot_precision=os.environ.get("SDSO_TRACE_DOTS", "split"),
     )

@@ -20,6 +20,10 @@ import os
 import sys
 import time
 
+# the bundled tensorboard_plugin_profile pb2s were generated with an older
+# protoc; the pure-python protobuf implementation accepts them
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -49,7 +53,10 @@ def main():
         active_cap=2048,
         affine_opt_mode_a=0.0,
         affine_opt_mode_b=0.0,
-        ladder_fine_levels=int(os.environ.get("SDSO_LADDER_FINE", "0")),
+        ladder_fine_levels=int(os.environ.get(
+            "SDSO_LADDER_FINE",
+            str(Settings.__dataclass_fields__["ladder_fine_levels"].default),
+        )),
     )
     K, seqs = bench.render_sequences()
     from stereo_dso_g2o_tpu.models.camera import make_calib
