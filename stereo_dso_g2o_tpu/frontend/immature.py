@@ -509,31 +509,46 @@ def trace_on_nonkey(
 
     good = flat["sel_ok"] & (traced.status == trace_ops.IPS_GOOD)
     Hd, Wd = dI_new.shape[:2]
-    u2 = jnp.clip(traced.last_uv[:, 0], 8.0, Wd - 9.0)
-    v2 = jnp.clip(traced.last_uv[:, 1], 8.0, Hd - 9.0)
+    n = flat["u"].shape[0]
+
+    # The L->R / R->L stereo refinement only applies to points whose
+    # temporal trace came back GOOD this frame (the reference's :689-710
+    # block runs under exactly that condition) — at steady state that is
+    # ~half the pool, and the epipolar kernel's cost is per-LANE
+    # (~3 us/lane on-chip, PERF.md round 5), so the GOOD subset is
+    # compacted to half-size lanes before the two stereo traces. Overflow
+    # rows (good count > NS, rare) keep their temporal result this frame.
+    NS = max(min(n, settings.trace_cap // 2), 1)
+    gidx = jnp.nonzero(good, size=NS, fill_value=-1)[0]
+    g_ok = gidx >= 0
+    gs_ = jnp.maximum(gidx, 0)
+
+    u2 = jnp.clip(traced.last_uv[gs_, 0], 8.0, Wd - 9.0)
+    v2 = jnp.clip(traced.last_uv[gs_, 1], 8.0, Hd - 9.0)
 
     # project the (traced) host interval into the new frame (:676-686)
     ones = jnp.ones_like(u2)
-    P = jnp.stack([flat["u"], flat["v"], ones], -1)  # (n, 3)
-    KRKi_pt = KRKi[host]
-    Kt_pt = Kt[host]
+    P = jnp.stack([flat["u"][gs_], flat["v"][gs_], ones], -1)  # (NS, 3)
+    KRKi_pt = KRKi[host[gs_]]
+    Kt_pt = Kt[host[gs_]]
     ptp_min = (
-        jnp.einsum("nij,nj->ni", KRKi_pt, P / traced.idepth_min[:, None])
-        + Kt_pt
+        jnp.einsum("nij,nj->ni", KRKi_pt,
+                   P / traced.idepth_min[gs_, None]) + Kt_pt
     )
     id_min_proj = 1.0 / ptp_min[:, 2]
     ptp_max = (
-        jnp.einsum("nij,nj->ni", KRKi_pt, P / traced.idepth_max[:, None])
-        + Kt_pt
+        jnp.einsum("nij,nj->ni", KRKi_pt,
+                   P / traced.idepth_max[gs_, None]) + Kt_pt
     )
     id_max_proj = 1.0 / ptp_max[:, 2]
 
     color2, weights2, gradH2, eth2 = trace_ops.extract_point_data(
         dI_new, u2, v2, settings
     )
-    n = u2.shape[0]
-    fresh_q = jnp.full((n,), 10000.0)
-    fresh_st = jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32)
+    fresh_q = jnp.full((NS,), 10000.0)
+    # masked lanes run frozen (OOB no-ops inside trace_stereo)
+    fresh_st = jnp.where(g_ok, trace_ops.IPS_UNINITIALIZED,
+                         trace_ops.IPS_OOB).astype(jnp.int32)
 
     res_lr, idepth_stereo = trace_ops.trace_stereo(
         u2, v2, id_min_proj, id_max_proj, color2, weights2, gradH2, eth2,
@@ -549,8 +564,7 @@ def trace_on_nonkey(
     )
     res_rl, _ = trace_ops.trace_stereo(
         u3, v3, id_min_proj, id_max_proj, color3, weights3, gradH3, eth3,
-        jnp.full((n,), 10000.0),
-        jnp.full((n,), trace_ops.IPS_UNINITIALIZED, jnp.int32),
+        jnp.full((NS,), 10000.0), fresh_st,
         K, baseline, dI_new, mode_right=False, settings=settings,
         backend=backend,
     )
@@ -562,11 +576,11 @@ def trace_on_nonkey(
 
     # reproject refined interval back into the host (:713-720)
     Ki = jnp.linalg.inv(K)
-    P2 = jnp.stack([u2, v2, jnp.ones_like(u2)], -1)  # (n, 3)
+    P2 = jnp.stack([u2, v2, jnp.ones_like(u2)], -1)  # (NS, 3)
     KiP2 = jnp.einsum("ij,nj->ni", Ki, P2)
     KRi = jnp.einsum("ij,fkj->fik", K, R_new)  # K @ R^T per host (F,3,3)
-    KRi_pt = KRi[host]
-    t_pt = t_new[host]
+    KRi_pt = KRi[host[gs_]]
+    t_pt = t_new[host[gs_]]
 
     def backproj(id_stereo):
         pinv = jnp.einsum(
@@ -577,12 +591,25 @@ def trace_on_nonkey(
     id_min_new = backproj(res_lr.idepth_min)
     id_max_new = backproj(res_lr.idepth_max)
 
-    upd = good & accept
-    rej = good & reject
+    # scatter the stereo-refinement outcome back to the full pool
+    dst = jnp.where(g_ok, gidx, n)
+    upd_n = jnp.zeros((n,), bool).at[dst].set(
+        accept & g_ok, mode="drop"
+    )
+    rej_n = jnp.zeros((n,), bool).at[dst].set(
+        reject & g_ok, mode="drop"
+    )
+    idmin_n = jnp.zeros((n,), id_min_new.dtype).at[dst].set(
+        id_min_new, mode="drop"
+    )
+    idmax_n = jnp.zeros((n,), id_max_new.dtype).at[dst].set(
+        id_max_new, mode="drop"
+    )
+
     refined = traced._replace(
-        idepth_min=jnp.where(upd, id_min_new, traced.idepth_min),
-        idepth_max=jnp.where(upd, id_max_new, traced.idepth_max),
-        status=jnp.where(rej, trace_ops.IPS_OUTLIER, traced.status),
+        idepth_min=jnp.where(upd_n, idmin_n, traced.idepth_min),
+        idepth_max=jnp.where(upd_n, idmax_n, traced.idepth_max),
+        status=jnp.where(rej_n, trace_ops.IPS_OUTLIER, traced.status),
     )
     return _scatter_trace(imm, sel, refined)
 

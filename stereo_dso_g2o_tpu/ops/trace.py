@@ -313,6 +313,9 @@ def trace_batch(
             gn_iters=int(n_gn),
             gn_threshold=float(settings.trace_gn_threshold),
             hi_precision=settings.trace_dot_precision == "highest",
+            # whole-image-in-VMEM mode when it fits (~10x less DMA; the
+            # per-point slab staging is burst-latency-bound, PERF.md r5)
+            resident=img_pad.shape[0] * img_pad.shape[1] * 4 <= 6 * 2**20,
             interpret=jax.default_backend() == "cpu",
         )[:N]
         best_u = out[:, tk.OUT_BEST_U] - (ox - x0.astype(f32))
@@ -818,6 +821,9 @@ def trace_stereo(
             gn_iters=int(n_gn),
             gn_threshold=float(settings.trace_gn_threshold),
             hi_precision=settings.trace_dot_precision == "highest",
+            # whole-image-in-VMEM mode when it fits (~10x less DMA; the
+            # per-point slab staging is burst-latency-bound, PERF.md r5)
+            resident=img_pad.shape[0] * img_pad.shape[1] * 4 <= 6 * 2**20,
             interpret=jax.default_backend() == "cpu",
         )[:n]
         best_u = out[:, tk.OUT_BEST_U] - (ox - x0p.astype(f32))

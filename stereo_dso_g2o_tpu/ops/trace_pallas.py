@@ -446,6 +446,188 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold,
     return kernel
 
 
+def _make_kernel_resident(S, N, Ceff, huber_th, gn_iters, gn_threshold,
+                          hi_precision):
+    """VMEM-resident-image variant: the whole padded target image lives in
+    VMEM (loaded once; ~2.9 MB at KITTI res vs ~16 MB/core), and each point
+    reads its (R_SLAB, Ceff) window as a dynamic SLICE — no per-point DMA.
+
+    Motivation (round 5, measured): the slab kernel's per-point async copy
+    is 64 separate ~1 KB strided bursts; at 6144 lanes that is ~400k bursts
+    per invocation and the kernel runs DMA-burst-bound at ~17.5 ms on-chip
+    (xprof hlo_stats + prefix-diff + standalone timing all agree) — ~25x
+    its compute cost. Resident mode removes the per-point staging entirely;
+    search + GN run fused in one loop over points.
+
+    GN gradients use the linearity identity
+        bilinear(central_diff_img)(q) == 0.5*(V(q+1) - V(q-1))
+    (exact, since bilinear sampling is linear in the image), so no gradient
+    slabs are materialized at all."""
+    SP = 8 * S
+
+    dot_img = _dot_highest if hi_precision else _dot_bf16x3
+    dot_sel = _dot_highest if hi_precision else _dot_exact_rhs
+
+    def kernel(
+        y0_ref,  # (N,) i32 scalar-prefetch
+        x0_ref,  # (N,) i32 scalar-prefetch
+        scal_ref,  # (N, 8) VMEM
+        color_ref,
+        wts_ref,
+        patx_ref,
+        paty_ref,
+        img_ref,  # (Hp, Wp) f32 VMEM — whole padded image, loaded once
+        out_ref,  # (N, 8) VMEM
+    ):
+        E = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, SP), 1) // S
+            == jax.lax.broadcasted_iota(jnp.int32, (8, SP), 0)
+        ).astype(jnp.float32)
+        Sel = (
+            jnp.mod(jax.lax.broadcasted_iota(jnp.int32, (SP, S), 0), S)
+            == jax.lax.broadcasted_iota(jnp.int32, (SP, S), 1)
+        ).astype(jnp.float32)
+        s_iota_sp = jnp.mod(
+            jax.lax.broadcasted_iota(jnp.int32, (1, SP), 1), S
+        ).astype(jnp.float32)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (Ceff, SP), 0).astype(
+            jnp.float32
+        )
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R_SLAB, SP), 0).astype(
+            jnp.float32
+        )
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1).astype(
+            jnp.float32
+        )
+        cg_iota_pt = jax.lax.broadcasted_iota(jnp.int32, (Ceff, 8), 0).astype(
+            jnp.float32
+        )
+        rg_iota_pt = jax.lax.broadcasted_iota(
+            jnp.int32, (R_SLAB, 8), 0
+        ).astype(jnp.float32)
+
+        def one(i, _):
+            slab = img_ref[
+                pl.ds(pl.multiple_of(y0_ref[i], 8), R_SLAB),
+                pl.ds(pl.multiple_of(x0_ref[i], 128), Ceff),
+            ]  # (R_SLAB, Ceff) f32
+            scal = scal_ref[pl.ds(i, 1), :]  # (1, 8)
+            ptx = scal[:, SCAL_PTX : SCAL_PTX + 1]
+            pty = scal[:, SCAL_PTY : SCAL_PTY + 1]
+            dx = scal[:, SCAL_DX : SCAL_DX + 1]
+            dy = scal[:, SCAL_DY : SCAL_DY + 1]
+            nsteps = scal[:, SCAL_NSTEPS : SCAL_NSTEPS + 1]
+            aff_a = scal[:, SCAL_AFF_A : SCAL_AFF_A + 1]
+            aff_b = scal[:, SCAL_AFF_B : SCAL_AFF_B + 1]
+            color = color_ref[pl.ds(i, 1), :]
+            wts = wts_ref[pl.ds(i, 1), :]
+            patx = patx_ref[pl.ds(i, 1), :]
+            paty = paty_ref[pl.ds(i, 1), :]
+
+            # -- discrete search (identical math to the slab kernel) --
+            patx_sp = dot_sel(patx, E)  # (1, SP)
+            paty_sp = dot_sel(paty, E)
+            color_sp = dot_sel(color, E)
+            sx = ptx + s_iota_sp * dx + patx_sp
+            sy = pty + s_iota_sp * dy + paty_sp
+            wc = jnp.maximum(0.0, 1.0 - jnp.abs(sx - c_iota))  # (Ceff, SP)
+            m1 = dot_img(slab, wc)  # (R, SP)
+            wr = jnp.maximum(0.0, 1.0 - jnp.abs(sy - r_iota))
+            vals = jnp.sum(m1 * wr, axis=0, keepdims=True)  # (1, SP)
+            res = vals - (aff_a * color_sp + aff_b)
+            hw = _huber(res, huber_th)
+            en_sp = hw * res * res * (2.0 - hw)
+            e_s = dot_sel(en_sp, Sel)
+            valid = s_iota < nsteps
+            e_m = jnp.where(valid, e_s, _BIG)
+            be = jnp.min(e_m, axis=1, keepdims=True)
+            bidx = jnp.min(
+                jnp.where(e_m <= be, s_iota, _BIG), axis=1, keepdims=True
+            )
+            outside = jnp.abs(s_iota - bidx) > 2.0
+            sb = jnp.min(
+                jnp.where(valid & outside, e_s, _BIG), axis=1, keepdims=True
+            )
+            bu = ptx + bidx * dx
+            bv = pty + bidx * dy
+
+            # -- fused GN refinement --
+            def sample8(qx, qy):
+                wcg = jnp.maximum(0.0, 1.0 - jnp.abs(qx - cg_iota_pt))
+                mg = dot_img(slab, wcg)  # (R, 8)
+                wrg = jnp.maximum(0.0, 1.0 - jnp.abs(qy - rg_iota_pt))
+                return jnp.sum(mg * wrg, axis=0, keepdims=True)  # (1, 8)
+
+            if gn_iters > 0:
+                carry = (
+                    bu, bv, bu, bv,
+                    jnp.zeros((1, 1), jnp.float32),
+                    jnp.full((1, 1), 1e5, jnp.float32),
+                    jnp.zeros((1, 1), bool),
+                )
+                for _it in range(gn_iters):
+                    bu_c, bv_c, ubak, vbak, step_back, be_c, done = carry
+                    qx = bu_c + patx
+                    qy = bv_c + paty
+                    hit = sample8(qx, qy)
+                    # bilinear sampling is linear in the image, so sampling
+                    # the central-difference gradient image equals the
+                    # centered difference of value samples — no grad slabs
+                    gxv = 0.5 * (sample8(qx + 1.0, qy) - sample8(qx - 1.0, qy))
+                    gyv = 0.5 * (sample8(qx, qy + 1.0) - sample8(qx, qy - 1.0))
+                    resi = hit - (aff_a * color + aff_b)
+                    d_res = dx * gxv + dy * gyv
+                    hw_g = _huber(resi, huber_th)
+                    Hgn = 1.0 + jnp.sum(
+                        hw_g * d_res * d_res, axis=1, keepdims=True
+                    )
+                    bgn = jnp.sum(hw_g * resi * d_res, axis=1, keepdims=True)
+                    energy = jnp.sum(
+                        wts * wts * hw_g * resi * resi * (2.0 - hw_g),
+                        axis=1, keepdims=True,
+                    )
+                    worse = energy > be_c
+                    sb_worse = step_back * 0.5
+                    u_worse = ubak + sb_worse * dx
+                    v_worse = vbak + sb_worse * dy
+                    step = jnp.clip(-bgn / Hgn, -0.5, 0.5)
+                    step = jnp.where(jnp.isfinite(step), step, 0.0)
+                    u_better = bu_c + step * dx
+                    v_better = bv_c + step * dy
+                    new_u = jnp.where(
+                        done, bu_c, jnp.where(worse, u_worse, u_better)
+                    )
+                    new_v = jnp.where(
+                        done, bv_c, jnp.where(worse, v_worse, v_better)
+                    )
+                    new_ubak = jnp.where(done | worse, ubak, bu_c)
+                    new_vbak = jnp.where(done | worse, vbak, bv_c)
+                    new_sb = jnp.where(
+                        done, step_back, jnp.where(worse, sb_worse, step)
+                    )
+                    new_e = jnp.where(done | worse, be_c, energy)
+                    new_done = done | (jnp.abs(new_sb) < gn_threshold)
+                    carry = (
+                        new_u, new_v, new_ubak, new_vbak, new_sb, new_e,
+                        new_done,
+                    )
+                bu_f, bv_f, _, _, _, e_gn, _ = carry
+            else:
+                bu_f, bv_f = bu, bv
+                e_gn = be
+
+            out_ref[pl.ds(i, 1), :] = jnp.concatenate(
+                [bu_f, bv_f, be, sb, e_gn, bidx,
+                 jnp.zeros((1, 2), jnp.float32)],
+                axis=1,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, N, one, 0, unroll=False)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -455,6 +637,7 @@ def _make_kernel(S, BLK, Ceff, huber_th, gn_iters, gn_threshold,
         "gn_iters",
         "gn_threshold",
         "hi_precision",
+        "resident",
         "interpret",
     ),
 )
@@ -474,11 +657,15 @@ def epipolar_search(
     gn_iters: int = 3,
     gn_threshold: float = 0.1,
     hi_precision: bool = False,
+    resident: bool = False,
     interpret: bool = False,
 ):
     """Run the in-VMEM epipolar search. Returns (N, 8) f32 (OUT_* lanes).
 
     N must be a multiple of BLK (pad with num_steps=0 rows).
+    resident=True keeps the WHOLE padded image in VMEM and reads per-point
+    windows as dynamic slices (no per-point DMA) — ~10x faster when the
+    image fits (see _make_kernel_resident); the caller gates on size.
     """
     N = y0.shape[0]
     assert N % BLK == 0, (N, BLK)
@@ -486,6 +673,31 @@ def epipolar_search(
     assert S + 2 * HALO + 8 <= R_SLAB, (S, R_SLAB)
     assert S + 2 * HALO + 128 <= C_SLAB, (S, C_SLAB)
     Ceff = ((S + 2 * HALO + 128 + 127) // 128) * 128  # cols actually sampled
+
+    if resident:
+        kernel_r = _make_kernel_resident(
+            S, N, Ceff, float(huber_th), int(gn_iters), float(gn_threshold),
+            bool(hi_precision),
+        )
+        grid_spec_r = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # scal
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # color
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # patx
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # paty
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # whole image
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel_r,
+            out_shape=jax.ShapeDtypeStruct((N, 8), jnp.float32),
+            grid_spec=grid_spec_r,
+            interpret=interpret,
+        )(y0, x0, scal, color, weights, patx, paty, img_pad)
 
     kernel = _make_kernel(
         S, BLK, Ceff, float(huber_th), int(gn_iters), float(gn_threshold),

@@ -63,12 +63,20 @@ def main():
     id_max = jnp.asarray(id_true * 1.5)
 
     def timeit(fn, reps=10):
+        """Per-rep timing with a sync per repetition.
+
+        WARNING (round 5): the earlier variant (async reps, one final
+        block_until_ready) reported 0.1-0.7 ms for programs that measure
+        17-20 ms by every production-context method (xprof hlo_stats,
+        cumulative-prefix diffs, 100-rep blocked loops) — through the axon
+        tunnel the async-pipelined pattern is NOT a trustworthy device-time
+        proxy. Keep per-rep syncs; treat historical numbers from this tool
+        as invalid (PERF.md round 5)."""
         out = fn()
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn()
-        jax.block_until_ready(out)
+            jax.block_until_ready(fn())
         return (time.perf_counter() - t0) / reps * 1e3
 
     results = {"n_points": N}
