@@ -334,6 +334,39 @@ class BatchedRunner:
     def _current_pots(self):
         return jnp.asarray([gs.pot for gs in self.systems], jnp.int32)
 
+    def warm_kf_buckets(self, frame):
+        """Compile every keyframe-bucket program variant ({1, 2, N}) before
+        the steady-state loop, WITHOUT mutating runner state.
+
+        The bucket variants otherwise compile lazily the first time a
+        KF-needing subset of that size occurs — minutes of remote-compile
+        in the middle of a timed run (the round-4/5 batched 'regression'
+        was largely this). frame: one (left, right) stereo pair broadcast
+        to all sequences (only shapes matter)."""
+        n = len(self.systems)
+        lefts = jnp.broadcast_to(jnp.asarray(frame[0]),
+                                 (n,) + tuple(frame[0].shape))
+        rights = jnp.broadcast_to(jnp.asarray(frame[1]),
+                                  (n,) + tuple(frame[1].shape))
+        expos = jnp.ones((n,), jnp.float32)
+        pots = self._current_pots()
+        common = dict(
+            settings=self.settings, n_levels=self.calib.n_levels,
+            w0=self.calib.w[0], h0=self.calib.h[0],
+        )
+        states_pre = self.states
+        _, _, aux = frame_track_batched(
+            states_pre, lefts, rights, self.calib_cs, self.baselines,
+            expos, n_tries=5, **common,
+        )
+        for nb in sorted({1, 2, n}):
+            out = frame_kf_subset_batched(
+                states_pre, aux, self.calib_cs, self.baselines, expos,
+                pots, jnp.zeros((nb,), jnp.int32), caps=self.caps,
+                imm_cap=self.settings.immature_cap, nb=nb, **common,
+            )
+        jax.block_until_ready(out)
+
     def _drain_one(self):
         bundles, frame_id, timestamp = self._pending_q.pop(0)
         b_all = jax.device_get(bundles)
