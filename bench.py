@@ -216,8 +216,13 @@ def main():
     emit({"progress": "single_seq_warm"})
     obs = []  # per-KF observability records (VERDICT r3 item 9) — built
     # from the per-frame bundle fetches the pipeline already makes
+    frame_ts = []  # per-frame wall stamps: the dev tunnel's throughput
+    # fluctuates by >2x between runs (PERF.md round 5), so a p50-based fps
+    # is reported alongside the mean to separate engine speed from tunnel
+    # weather
     t0 = time.perf_counter()
     for i in range(warm_until, N_FRAMES):
+        frame_ts.append(time.perf_counter())
         b = gs.add_frame(lefts0_d[i], rights0_d[i], i, timestamp=0.1 * i)
         if b is None:
             continue
@@ -241,6 +246,9 @@ def main():
         obs.append(rec)
     dt_single = (time.perf_counter() - t0) / (N_FRAMES - warm_until)
     single_fps = 1.0 / dt_single
+    frame_ts.append(time.perf_counter())
+    d = np.diff(np.asarray(frame_ts))
+    fps_p50 = float(1.0 / np.median(d)) if d.size else single_fps
 
     traj = gs.trajectory()
     n_finite = int(sum(bool(np.isfinite(T).all()) for T in traj))
@@ -256,6 +264,7 @@ def main():
     common = {
         "unit": "frames/sec/chip",
         "single_seq_fps": round(single_fps, 2),
+        "single_seq_fps_p50": round(fps_p50, 2),
         "ate_rmse_m": round(float(ate), 4) if np.isfinite(ate) else None,
         "n_finite_frames": n_finite,
         "lost": bool(gs.is_lost),

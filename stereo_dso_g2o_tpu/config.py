@@ -195,7 +195,14 @@ class Settings:
     # the per-frame traces (temporal + 2x static stereo) compact live rows to
     # this fixed batch first. Overflow rows simply keep their interval until
     # a later frame (bounded, burst-only deviation).
-    trace_cap: int = 6144
+    # Compact trace-pool lanes. The epipolar kernel costs ~3 us/LANE
+    # (PERF.md round 5), so this cap is a first-order fps knob. Live
+    # immature counts at the reference-healthy KF cadence (47/200 frames,
+    # round-5 bench obs): p50 3082, max 4748 — 5120 covers the observed
+    # max with margin; overflow rows gracefully keep their interval until
+    # a later frame. (Round 4's 6144 was sized against the inflated
+    # 68-KF cadence whose seeding pushed the pool to 5682.)
+    trace_cap: int = 5120
     # Precision of the pallas trace kernel's interpolation dots:
     # "split" = hi/lo bf16 split (3 passes, second-order residual
     # truncation on TPU), "highest" = Precision.HIGHEST (6 passes, exact
